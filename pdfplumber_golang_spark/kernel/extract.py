@@ -1,0 +1,120 @@
+"""Per-document extraction entry points (router + PDF pipeline).
+
+This is the canonical kernel the Spark pipeline calls once per document
+inside ``mapInPandas`` — the Spark-side shape is SURVEY §3.2: bytes → tokens
+→ (operator, operands) → interpreter state → object vectors → layout →
+text, all inside one Python call per document; the DataFrame boundary starts
+at the emitted page rows.
+
+Router (reference Open() fallback chain replaced by one canonical kernel +
+error column, SURVEY §2.1 S1/S3): bytes starting with %PDF- → PDF kernel,
+else HTML boilerplate-strip kernel.
+"""
+
+from __future__ import annotations
+
+from .cmap import CMap
+from .content import Font, Interpreter
+from .html_extract import extract_html_text
+from .pdfparse import PDFDocument, PDFError, Stream
+
+
+class PageResult:
+    __slots__ = (
+        "page_no", "kind", "text", "n_chars", "n_words", "n_edges",
+        "n_rects", "width", "height", "chars", "edges", "rects",
+    )
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw.get(k))
+
+
+def load_fonts(doc: PDFDocument, resources: dict) -> dict[str, Font]:
+    """S14: deref Resources/Font, read BaseFont/Encoding, fetch + decode the
+    ToUnicode stream, parse CMap (reference content_stream_parser.go:129-260).
+    """
+    fonts: dict[str, Font] = {}
+    fdict = doc.resolve(resources.get("Font")) or {}
+    if not isinstance(fdict, dict):
+        return fonts
+    for name, fref in fdict.items():
+        fobj = doc.resolve(fref)
+        if not isinstance(fobj, dict):
+            continue
+        base = str(doc.resolve(fobj.get("BaseFont")) or name)
+        enc = doc.resolve(fobj.get("Encoding"))
+        two_byte = str(enc or "").startswith("Identity")
+        cm = None
+        tu = doc.resolve(fobj.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            cm = CMap.parse(doc.stream_data(tu))
+        fonts[name] = Font(name=name, base=base, cmap=cm, two_byte=two_byte)
+    return fonts
+
+
+def parse_pdf_objects(data: bytes):
+    """Parse a PDF and interpret every page's content stream.
+
+    Yields (page_no, mediabox, interp) with populated object vectors.
+    """
+    doc = PDFDocument(data)
+    for page in doc.pages:
+        fonts = load_fonts(doc, page.resources if isinstance(page.resources, dict) else {})
+        interp = Interpreter(fonts)
+        content = b"\n".join(page.contents)
+        interp.run(content)
+        yield page.number, page.mediabox, interp
+
+
+def extract_document(url: str, raw: bytes) -> tuple[list[PageResult], str | None]:
+    """Router + extraction. Returns (page_results, error)."""
+    from . import layout
+
+    try:
+        if raw[:5] == b"%PDF-":
+            pages: list[PageResult] = []
+            for page_no, mediabox, interp in parse_pdf_objects(raw):
+                text = layout.organize_text(interp.chars)
+                words = layout.extract_words(interp.chars)
+                pages.append(
+                    PageResult(
+                        page_no=page_no,
+                        kind="pdf",
+                        text=text,
+                        n_chars=len(interp.chars),
+                        n_words=len(words),
+                        n_edges=len(interp.edges),
+                        n_rects=len(interp.rects),
+                        width=mediabox[2] - mediabox[0],
+                        height=mediabox[3] - mediabox[1],
+                        chars=interp.chars,
+                        edges=interp.edges,
+                        rects=interp.rects,
+                    )
+                )
+            if not pages:
+                return [], "pdf: no pages"
+            return pages, None
+        # HTML path
+        text = extract_html_text(raw)
+        return [
+            PageResult(
+                page_no=1,
+                kind="html",
+                text=text,
+                n_chars=len(text),
+                n_words=len(text.split()) if text else 0,
+                n_edges=0,
+                n_rects=0,
+                width=0.0,
+                height=0.0,
+                chars=[],
+                edges=[],
+                rects=[],
+            )
+        ], None
+    except PDFError as e:
+        return [], f"pdf: {e}"
+    except Exception as e:  # malformed inputs must never kill the executor
+        return [], f"{type(e).__name__}: {e}"

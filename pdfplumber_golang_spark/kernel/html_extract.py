@@ -1,0 +1,135 @@
+"""HTML main-content extraction (boilerplate strip).
+
+A from-scratch DOM text-block heuristic in the style of Arc90 readability /
+jusText / boilerpipe: segment the document into text blocks at block-level
+element boundaries, score each block by link density and ancestor tag
+context, keep content blocks, join with newlines.
+
+The reference repo (pyhub-apps/pdfplumber-golang) is PDF-only; this path is
+the HTML-row requirement from BASELINE.json ``north_rule`` ("HTML rows routed
+through a parallel DOM boilerplate-strip heuristic (tag-density/text-ratio
+scoring)"). Design follows the published block-scoring literature
+(Kohlschütter et al. 2010 boilerpipe; Pomikálek 2011 jusText), not any
+specific implementation.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+#: elements whose entire subtree is boilerplate by construction
+_BOILERPLATE_ANCESTORS = frozenset(
+    {"nav", "header", "footer", "aside", "form", "noscript", "menu"}
+)
+#: elements whose text content is never rendered
+_INVISIBLE = frozenset({"script", "style", "head", "title", "template"})
+#: elements that terminate a text block
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "article", "section", "main", "body", "html",
+        "ul", "ol", "li", "table", "tr", "td", "th", "h1", "h2", "h3",
+        "h4", "h5", "h6", "blockquote", "pre", "nav", "header", "footer",
+        "aside", "form", "br", "hr", "figure", "figcaption",
+    }
+)
+#: a block is boilerplate if link chars / total chars exceeds this
+MAX_LINK_DENSITY = 0.30
+#: void elements (never pushed on the open-tag stack)
+_VOID = frozenset(
+    {"br", "hr", "img", "meta", "link", "input", "area", "base",
+     "col", "embed", "source", "track", "wbr"}
+)
+
+
+class _Block:
+    __slots__ = ("parts", "link_chars", "boiler", "invisible")
+
+    def __init__(self, boiler: bool, invisible: bool):
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.boiler = boiler
+        self.invisible = invisible
+
+    def text(self) -> str:
+        return "".join(self.parts).strip()
+
+
+class _BlockParser(HTMLParser):
+    """Stream HTML into text blocks with (link_density, ancestor) features."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[str] = []
+        self.blocks: list[_Block] = []
+        self.cur: _Block | None = None
+        self.link_depth = 0
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        if self.cur is not None and self.cur.parts:
+            self.blocks.append(self.cur)
+        self.cur = None
+
+    def _ensure(self) -> _Block:
+        if self.cur is None:
+            boiler = any(t in _BOILERPLATE_ANCESTORS for t in self.stack)
+            invis = any(t in _INVISIBLE for t in self.stack)
+            self.cur = _Block(boiler, invis)
+        return self.cur
+
+    # -- parser events ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self.link_depth += 1
+        if tag not in _VOID:
+            self.stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a" and self.link_depth > 0:
+            self.link_depth -= 1
+        # pop to matching open tag (tolerates misnesting)
+        if tag in self.stack:
+            while self.stack and self.stack[-1] != tag:
+                self.stack.pop()
+            if self.stack:
+                self.stack.pop()
+
+    def handle_data(self, data: str) -> None:
+        if not data or data.isspace():
+            return
+        blk = self._ensure()
+        blk.parts.append(data)
+        if self.link_depth > 0:
+            blk.link_chars += len(data)
+
+
+def extract_html_text(raw: bytes | str) -> str:
+    """Extract main-content text from an HTML document.
+
+    Returns content blocks (link_density <= MAX_LINK_DENSITY, not under a
+    boilerplate/invisible ancestor) joined by '\\n', in document order.
+    """
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        raw = bytes(raw).decode("utf-8", errors="replace")
+    p = _BlockParser()
+    p.feed(raw)
+    p.close()
+    p._flush()
+    out: list[str] = []
+    for blk in p.blocks:
+        if blk.invisible or blk.boiler:
+            continue
+        txt = blk.text()
+        if not txt:
+            continue
+        total = len(txt)
+        if blk.link_chars / total > MAX_LINK_DENSITY:
+            continue
+        out.append(txt)
+    return "\n".join(out)

@@ -1,0 +1,120 @@
+"""Layout analysis: char objects → lines → words → page text.
+
+Canonical semantics (SURVEY §7): the reference text_organizer path
+(/root/reference/pkg/extractors/text_organizer.go:31-220 — SURVEY §2.5
+Y1-Y7):
+  Y1  sort chars by (Y0 desc within yTol, then X0 asc)
+  Y2  sweep-group into lines: new line when |y0 - anchor_y| > yTol, where
+      anchor = FIRST char of the current line (text_organizer.go:81-94)
+  Y3  within a line (sorted by X0): insert ' ' when gap > xTol AND
+      gap > 0.5 * char.Width (text_organizer.go:118-127)
+  Y4  word split: gap > xTol OR gap > 0.3 * char.Width
+      (text_organizer.go:171-180)
+  Y5  word agg: concat text, bbox = min/max of member chars
+  Y7  page text = '\n'.join(line texts)
+
+Same tie-break rules as the DataFrame operators in
+``operators/layout_ops.py`` so both paths agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from .. import spec
+
+Char = tuple  # (text, font, size, x0, y0, x1, y1, width, height)
+_TEXT, _FONT, _SIZE, _X0, _Y0, _X1, _Y1, _W, _H = range(9)
+
+
+def sort_reading_order(chars: list[Char]) -> list[Char]:
+    """Y1: strict (-y0, x0) sort — a total order refining the reference's
+    tolerance-relative comparison (deterministic tie-break, SURVEY §7a)."""
+    return sorted(chars, key=lambda c: (-c[_Y0], c[_X0]))
+
+
+def group_lines(
+    chars: list[Char], y_tol: float = spec.Y_TOLERANCE
+) -> list[list[Char]]:
+    """Y2 anchor sweep over reading-order chars."""
+    if not chars:
+        return []
+    lines: list[list[Char]] = []
+    cur: list[Char] = []
+    anchor_y = chars[0][_Y0]
+    for ch in chars:
+        if abs(ch[_Y0] - anchor_y) > y_tol:
+            if cur:
+                lines.append(cur)
+            cur = [ch]
+            anchor_y = ch[_Y0]
+        else:
+            cur.append(ch)
+    if cur:
+        lines.append(cur)
+    return lines
+
+
+def line_text(line: list[Char], x_tol: float = spec.X_TOLERANCE) -> str:
+    """Y3: X-sorted concat with gap-inserted spaces."""
+    line = sorted(line, key=lambda c: c[_X0])
+    parts: list[str] = []
+    last_x1 = 0.0
+    for i, ch in enumerate(line):
+        if i > 0:
+            gap = ch[_X0] - last_x1
+            if gap > x_tol and gap > ch[_W] * 0.5:
+                parts.append(" ")
+        parts.append(ch[_TEXT])
+        last_x1 = ch[_X1]
+    return "".join(parts)
+
+
+def organize_text(
+    chars: list[Char],
+    x_tol: float = spec.X_TOLERANCE,
+    y_tol: float = spec.Y_TOLERANCE,
+) -> str:
+    """Y1+Y2+Y3+Y7: full page text."""
+    if not chars:
+        return ""
+    lines = group_lines(sort_reading_order(chars), y_tol)
+    return "\n".join(line_text(ln, x_tol) for ln in lines)
+
+
+def extract_words(
+    chars: list[Char],
+    x_tol: float = spec.X_TOLERANCE,
+    y_tol: float = spec.Y_TOLERANCE,
+) -> list[dict]:
+    """Y4+Y5: words with bboxes (text_organizer.go:157-220)."""
+    out: list[dict] = []
+    for ln in group_lines(sort_reading_order(chars), y_tol):
+        ln = sorted(ln, key=lambda c: c[_X0])
+        cur: list[Char] = []
+        last_x1 = 0.0
+        for i, ch in enumerate(ln):
+            if i > 0:
+                gap = ch[_X0] - last_x1
+                if gap > x_tol or gap > ch[_W] * 0.3:
+                    if cur:
+                        out.append(_make_word(cur))
+                    cur = []
+            if ch[_TEXT] != " ":
+                cur.append(ch)
+            elif cur:  # explicit space char also terminates a word
+                out.append(_make_word(cur))
+                cur = []
+            last_x1 = ch[_X1]
+        if cur:
+            out.append(_make_word(cur))
+    return out
+
+
+def _make_word(chars: list[Char]) -> dict:
+    return {
+        "text": "".join(c[_TEXT] for c in chars),
+        "x0": min(c[_X0] for c in chars),
+        "y0": min(c[_Y0] for c in chars),
+        "x1": max(c[_X1] for c in chars),
+        "y1": max(c[_Y1] for c in chars),
+        "n_chars": len(chars),
+    }

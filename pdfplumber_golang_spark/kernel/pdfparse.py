@@ -1,0 +1,330 @@
+"""PDF document parser: header → xref → objects → page tree.
+
+From-scratch reimplementation of the reference's file-structure parser
+semantics (/root/reference/pkg/parser/parser.go — SURVEY §2.1 S3-S13):
+header verify, tail-scan startxref discovery, classic xref-table parse with
+/Prev chains, indirect-object fetch with memoization, stream reads with
+direct-or-indirect /Length, filter decode (FlateDecode with raw-DEFLATE
+fallback, ASCIIHexDecode, ASCII85Decode — improving on the reference's
+ascii85 stub at parser.go:686-690), and recursive page-tree walk with
+Resources/MediaBox/CropBox/Rotate attribute inheritance
+(parser.go:722-861).
+
+Object model: Python natives (int/float/bytes/list/dict) + Name/Ref/Stream
+wrappers, mirroring the tagged-union PDFObject model
+(/root/reference/pkg/parser/types.go:8-115; PDFString stays *bytes* until
+CMap decode, types.go:45).
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import zlib
+
+from . import lexer as lx
+
+
+class Name(str):
+    """A /Name (distinct from text strings)."""
+    __slots__ = ()
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __hash__(self):
+        return hash((self.num, self.gen))
+
+    def __eq__(self, o):
+        return isinstance(o, Ref) and o.num == self.num and o.gen == self.gen
+
+    def __repr__(self):  # pragma: no cover
+        return f"{self.num} {self.gen} R"
+
+
+class Stream:
+    __slots__ = ("dict", "raw", "_decoded")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+        self._decoded: bytes | None = None
+
+
+class PDFError(ValueError):
+    pass
+
+
+class Page:
+    __slots__ = ("number", "dict", "resources", "contents", "mediabox", "rotate")
+
+    def __init__(self, number, d, resources, contents, mediabox, rotate):
+        self.number = number
+        self.dict = d
+        self.resources = resources
+        self.contents = contents  # list[bytes] (decoded)
+        self.mediabox = mediabox  # (x0, y0, x1, y1)
+        self.rotate = rotate
+
+
+class PDFDocument:
+    """Parsed PDF: xref + object cache + page list."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.xref: dict[int, int] = {}      # objnum -> byte offset
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self.version = self._verify_header()
+        self._parse_xref_chain()
+        self.pages: list[Page] = self._build_pages()
+
+    # ---------------------------------------------------------- header ---
+    def _verify_header(self) -> str:
+        if not self.data.startswith(b"%PDF-"):
+            raise PDFError("missing %PDF- header")
+        eol = self.data.find(b"\n", 0, 32)
+        return self.data[5 : eol if eol > 0 else 16].decode("latin-1", "replace").strip()
+
+    # ------------------------------------------------------------ xref ---
+    def _find_startxref(self) -> int:
+        tail = self.data[-1024:]
+        idx = tail.rfind(b"startxref")
+        if idx < 0:
+            raise PDFError("startxref not found in last 1KB")
+        lex = lx.Lexer(tail, idx + len(b"startxref"))
+        tok = lex.next()
+        if tok.kind != lx.NUM:
+            raise PDFError("bad startxref offset")
+        return int(tok.val)
+
+    def _parse_xref_chain(self) -> None:
+        offset = self._find_startxref()
+        seen = set()
+        while offset and offset not in seen:
+            seen.add(offset)
+            trailer = self._parse_xref_section(offset)
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            prev = trailer.get("Prev")
+            offset = int(prev) if isinstance(prev, (int, float)) else 0
+
+    def _parse_xref_section(self, offset: int) -> dict:
+        lex = lx.Lexer(self.data, offset)
+        tok = lex.next()
+        if not (tok.kind == lx.KEYWORD and tok.val == "xref"):
+            raise PDFError(f"no classic xref table at {offset} (xref streams unsupported)")
+        while True:
+            tok = lex.next()
+            if tok.kind == lx.KEYWORD and tok.val == "trailer":
+                break
+            if tok.kind != lx.NUM:
+                raise PDFError("malformed xref subsection header")
+            start = int(tok.val)
+            count_t = lex.next()
+            if count_t.kind != lx.NUM:
+                raise PDFError("malformed xref count")
+            count = int(count_t.val)
+            for i in range(count):
+                off_t, gen_t, flag_t = lex.next(), lex.next(), lex.next()
+                if off_t.kind != lx.NUM or flag_t.kind != lx.KEYWORD:
+                    raise PDFError("malformed xref entry")
+                if flag_t.val == "n":
+                    self.xref.setdefault(start + i, int(off_t.val))
+        return self._parse_value(lex)
+
+    # --------------------------------------------------------- objects ---
+    def _parse_value(self, lex: lx.Lexer):
+        """Recursive-descent object parse with `N G R` lookahead."""
+        tok = lex.next()
+        k = tok.kind
+        if k == lx.NUM:
+            if isinstance(tok.val, int):
+                save = lex.pos
+                t2 = lex.next()
+                if t2.kind == lx.NUM and isinstance(t2.val, int):
+                    t3 = lex.next()
+                    if t3.kind == lx.KEYWORD and t3.val == "R":
+                        return Ref(tok.val, t2.val)
+                lex.pos = save
+                lex._pushback = None
+            return tok.val
+        if k == lx.NAME:
+            return Name(tok.val)
+        if k == lx.STRING:
+            return tok.val
+        if k == lx.ARRAY_OPEN:
+            arr = []
+            while True:
+                save = lex.pos
+                t = lex.next()
+                if t.kind in (lx.ARRAY_CLOSE, lx.EOF):
+                    return arr
+                lex.pos = save
+                lex._pushback = None
+                arr.append(self._parse_value(lex))
+        if k == lx.DICT_OPEN:
+            d = {}
+            while True:
+                t = lex.next()
+                if t.kind in (lx.DICT_CLOSE, lx.EOF):
+                    break
+                if t.kind != lx.NAME:
+                    continue  # skip junk keys
+                d[t.val] = self._parse_value(lex)
+            return self._maybe_stream(d, lex)
+        if k == lx.KEYWORD:
+            if tok.val == "true":
+                return True
+            if tok.val == "false":
+                return False
+            if tok.val == "null":
+                return None
+            return Name(tok.val)  # tolerate bare keywords
+        return None
+
+    def _maybe_stream(self, d: dict, lex: lx.Lexer):
+        save = lex.pos
+        t = lex.next()
+        if not (t.kind == lx.KEYWORD and t.val == "stream"):
+            lex.pos = save
+            lex._pushback = None
+            return d
+        # skip EOL after 'stream' (CR LF or LF)
+        pos = lex.pos
+        if self.data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif self.data[pos : pos + 1] in (b"\n", b"\r"):
+            pos += 1
+        length = self.resolve(d.get("Length"))
+        if not isinstance(length, (int, float)):
+            end = self.data.find(b"endstream", pos)
+            length = max(end - pos, 0)
+        raw = self.data[pos : pos + int(length)]
+        lex.pos = pos + int(length)
+        # consume 'endstream'
+        t = lex.next()
+        while t.kind != lx.EOF and not (t.kind == lx.KEYWORD and t.val == "endstream"):
+            t = lex.next()
+        return Stream(d, raw)
+
+    def get_object(self, ref: Ref):
+        if ref.num in self._cache:
+            return self._cache[ref.num]
+        off = self.xref.get(ref.num)
+        if off is None:
+            return None
+        lex = lx.Lexer(self.data, off)
+        t1, t2, t3 = lex.next(), lex.next(), lex.next()
+        if not (
+            t1.kind == lx.NUM
+            and t2.kind == lx.NUM
+            and t3.kind == lx.KEYWORD
+            and t3.val == "obj"
+        ):
+            raise PDFError(f"object {ref.num} not at xref offset {off}")
+        val = self._parse_value(lex)
+        self._cache[ref.num] = val
+        return val
+
+    def resolve(self, val):
+        depth = 0
+        while isinstance(val, Ref) and depth < 32:
+            val = self.get_object(val)
+            depth += 1
+        return val
+
+    # --------------------------------------------------------- streams ---
+    def stream_data(self, st: Stream) -> bytes:
+        if st._decoded is not None:
+            return st._decoded
+        data = st.raw
+        filt = self.resolve(st.dict.get("Filter"))
+        filters = (
+            [filt] if isinstance(filt, (str, Name)) else (filt or [])
+        )
+        for f in filters:
+            data = _decode_filter(str(self.resolve(f)), data)
+        st._decoded = data
+        return data
+
+    # ------------------------------------------------------- page tree ---
+    def _build_pages(self) -> list[Page]:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PDFError("missing /Root catalog")
+        pages_node = self.resolve(root.get("Pages"))
+        if not isinstance(pages_node, dict):
+            raise PDFError("missing /Pages")
+        out: list[Page] = []
+        self._walk(pages_node, {}, out, depth=0)
+        return out
+
+    _INHERIT = ("Resources", "MediaBox", "CropBox", "Rotate")
+
+    def _walk(self, node: dict, inherited: dict, out: list[Page], depth: int) -> None:
+        if depth > 64:
+            raise PDFError("page tree too deep")
+        inh = dict(inherited)
+        for key in self._INHERIT:
+            if key in node:
+                inh[key] = node[key]
+        ntype = str(self.resolve(node.get("Type")) or "")
+        kids = self.resolve(node.get("Kids"))
+        if ntype == "Pages" or isinstance(kids, list):
+            for kid in kids or []:
+                kd = self.resolve(kid)
+                if isinstance(kd, dict):
+                    self._walk(kd, inh, out, depth + 1)
+            return
+        # leaf page
+        merged = dict(inh)
+        merged.update(node)
+        mb = self.resolve(merged.get("MediaBox")) or [0, 0, 612, 792]
+        mediabox = tuple(float(self.resolve(v)) for v in mb[:4])
+        rotate = int(self.resolve(merged.get("Rotate")) or 0)
+        resources = self.resolve(merged.get("Resources")) or {}
+        contents = self.resolve(merged.get("Contents"))
+        streams: list[bytes] = []
+        if isinstance(contents, Stream):
+            streams.append(self.stream_data(contents))
+        elif isinstance(contents, list):
+            for c in contents:
+                cs = self.resolve(c)
+                if isinstance(cs, Stream):
+                    streams.append(self.stream_data(cs))
+        out.append(
+            Page(
+                number=len(out) + 1,
+                d=merged,
+                resources=resources,
+                contents=streams,
+                mediabox=mediabox,
+                rotate=rotate,
+            )
+        )
+
+
+def _decode_filter(name: str, data: bytes) -> bytes:
+    if name in ("FlateDecode", "Fl"):
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return zlib.decompressobj(-15).decompress(data)  # raw DEFLATE
+    if name in ("ASCIIHexDecode", "AHx"):
+        hexs = bytes(c for c in data if c not in b" \t\r\n\x0c\x00>")
+        if len(hexs) % 2:
+            hexs += b"0"
+        return binascii.unhexlify(hexs)
+    if name in ("ASCII85Decode", "A85"):
+        s = data.rstrip()
+        if s.endswith(b"~>"):
+            s = s[:-2]
+        return base64.a85decode(s)
+    # unknown filter: pass through (reference behavior for unsupported)
+    return data

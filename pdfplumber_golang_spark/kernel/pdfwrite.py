@@ -1,0 +1,271 @@
+"""Deterministic minimal-PDF writer (fixture generator).
+
+Emits byte-exact classic-layout PDFs (`%PDF-1.4` header, `N 0 obj` bodies,
+`stream`/`endstream`, classic `xref` table, `trailer`, `startxref`) — the
+exact file shape the reference's from-scratch parser consumes
+(/root/reference/pkg/parser/parser.go:94-302). Used only to synthesize test
+corpora; the extraction engine never imports this at run time.
+
+Variants (FIXTURES.md §2):
+  plain     — one page, uncompressed stream, Tf/Tm/Tj/T* only
+  flate     — same, FlateDecode content stream (parser.go:642-655 path)
+  kerned    — TJ arrays with kern numbers + Td/' operators (SURVEY §2.3 I2-I5)
+  cmap      — Type0/Identity-H font + ToUnicode CMap (bfchar + bfrange),
+              hex-string Tj operands (SURVEY §2.4 D1-D5)
+  multipage — page tree with Kids + inherited Resources/MediaBox
+              (parser.go:722-861 path)
+  graphics  — ruled table grid (m/l/re + S/f) with cell text (SURVEY §2.7)
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from .. import spec
+
+_FONT_SIMPLE = (
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Name /F1 >>"
+)
+
+
+def _esc(s: str) -> bytes:
+    """Escape a PDF literal string."""
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    ).encode("latin-1")
+
+
+def _text_stream_plain(lines: list[str]) -> bytes:
+    ops = [b"BT", b"/F1 12 Tf", b"%g TL" % spec.LEADING]
+    ops.append(b"1 0 0 1 %g %g Tm" % (spec.TEXT_X0, spec.TEXT_Y0))
+    for i, ln in enumerate(lines):
+        if i > 0:
+            ops.append(b"T*")
+        ops.append(b"(" + _esc(ln) + b") Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _text_stream_kerned(lines: list[str]) -> bytes:
+    """Same rendered text via TJ kern arrays, Td moves and the ' operator.
+
+    Kern values are small (|v| <= 60 -> |shift| <= 0.72pt at 12pt font),
+    below X_TOLERANCE, so extracted text is identical to plain.
+    """
+    ops = [b"BT", b"/F1 12 Tf", b"%g TL" % spec.LEADING]
+    ops.append(b"%g %g Td" % (spec.TEXT_X0, spec.TEXT_Y0))
+    for i, ln in enumerate(lines):
+        mid = len(ln) // 2
+        a, b = ln[:mid], ln[mid:]
+        if i == 0:
+            if b:
+                ops.append(b"[(" + _esc(a) + b") 60 (" + _esc(b) + b") -40 ()] TJ")
+            else:
+                ops.append(b"[(" + _esc(a) + b")] TJ")
+        elif i == 1:
+            # ' : move to next line (uses leading) then show
+            ops.append(b"(" + _esc(ln) + b") '")
+        else:
+            ops.append(b"0 -%g Td" % spec.LEADING)
+            if b:
+                ops.append(b"[(" + _esc(a) + b") 60 (" + _esc(b) + b")] TJ")
+            else:
+                ops.append(b"[(" + _esc(a) + b")] TJ")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+# --- cmap variant: CID = ord(ch) + 0x0100, two-byte codes -----------------
+
+CMAP_CID_OFFSET = 0x0100
+
+
+def _cid_hex(s: str) -> bytes:
+    return "".join(f"{ord(c) + CMAP_CID_OFFSET:04X}" for c in s).encode()
+
+
+def _text_stream_cmap(lines: list[str]) -> bytes:
+    ops = [b"BT", b"/F1 12 Tf", b"%g TL" % spec.LEADING]
+    ops.append(b"1 0 0 1 %g %g Tm" % (spec.TEXT_X0, spec.TEXT_Y0))
+    for i, ln in enumerate(lines):
+        if i > 0:
+            ops.append(b"T*")
+        ops.append(b"<" + _cid_hex(ln) + b"> Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _tounicode_cmap() -> bytes:
+    """ToUnicode CMap: bfchar for 'A'..'D' codes, contiguous bfrange for the
+    full printable-ASCII band (mirrors the shapes unit-tested in
+    /root/reference/pkg/pdf/cmap_test.go:20-175)."""
+    bfchars = b"\n".join(
+        b"<%04X> <%04X>" % (ord(c) + CMAP_CID_OFFSET, ord(c))
+        for c in "ABCD"
+    )
+    lo, hi = 0x20 + CMAP_CID_OFFSET, 0x7E + CMAP_CID_OFFSET
+    return (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"4 beginbfchar\n" + bfchars + b"\nendbfchar\n"
+        b"1 beginbfrange\n"
+        + b"<%04X> <%04X> <0020>\n" % (lo, hi)
+        + b"endbfrange\nendcmap\n"
+        b"CMapName currentdict /CMap defineresource pop\nend\nend"
+    )
+
+
+# --- graphics variant: 3x3 ruled grid + cell text --------------------------
+
+GRID_X, GRID_Y = 72.0, 400.0   # top-left of grid (y = top line)
+CELL_W, CELL_H = 120.0, 24.0
+GRID_COLS, GRID_ROWS = 3, 3
+
+
+def grid_cell_text(doc_id: int, r: int, c: int) -> str:
+    return f"c{doc_id % 100}r{r}c{c}"
+
+
+def _graphics_stream(doc_id: int, lines: list[str]) -> bytes:
+    """Body text + a ruled GRID_ROWS x GRID_COLS table with cell text."""
+    ops = [_text_stream_plain(lines)]
+    # ruling lines: horizontal via m/l/S, vertical via re (degenerate) + S
+    x1 = GRID_X + GRID_COLS * CELL_W
+    y_bot = GRID_Y - GRID_ROWS * CELL_H
+    ops.append(b"1 w")
+    for r in range(GRID_ROWS + 1):
+        y = GRID_Y - r * CELL_H
+        ops.append(b"%g %g m %g %g l S" % (GRID_X, y, x1, y))
+    for c in range(GRID_COLS + 1):
+        x = GRID_X + c * CELL_W
+        ops.append(b"%g %g m %g %g l S" % (x, y_bot, x, GRID_Y))
+    # cell text (centered-ish inside each cell)
+    cell_ops = [b"BT", b"/F1 10 Tf"]
+    for r in range(GRID_ROWS):
+        for c in range(GRID_COLS):
+            tx = GRID_X + c * CELL_W + 6.0
+            ty = GRID_Y - r * CELL_H - 16.0
+            cell_ops.append(b"1 0 0 1 %g %g Tm" % (tx, ty))
+            cell_ops.append(b"(" + _esc(grid_cell_text(doc_id, r, c)) + b") Tj")
+    cell_ops.append(b"ET")
+    ops.append(b"\n".join(cell_ops))
+    return b"\n".join(ops)
+
+
+# --- assembler --------------------------------------------------------------
+
+
+def _assemble(objects: dict[int, bytes]) -> bytes:
+    """Serialize numbered objects into a classic-xref PDF."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    maxnum = max(objects)
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num
+        out += objects[num]
+        out += b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (maxnum + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxnum + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\n" % (maxnum + 1)
+    out += b"startxref\n%d\n" % xref_off
+    out += b"%%EOF\n"
+    return bytes(out)
+
+
+def _stream_obj(data: bytes, flate: bool, extra: bytes = b"") -> bytes:
+    if flate:
+        data = zlib.compress(data)
+        extra = extra + b" /Filter /FlateDecode"
+    return (
+        b"<< /Length %d%s >>\nstream\n" % (len(data), extra)
+        + data
+        + b"\nendstream"
+    )
+
+
+def build_pdf(doc_id: int, text: str, variant: str) -> tuple[bytes, str]:
+    """Build a deterministic PDF for (doc_id, text); return (bytes, golden).
+
+    golden = expected extract_text output with pages joined by '\\n'
+    (equal to spec.pdf_golden(text) for every variant).
+    """
+    lines = spec.wrap_chars(text)
+    golden = spec.pdf_golden(text)
+    per_page = (
+        spec.PDF_MULTIPAGE_LINES if variant == "pdf_multipage"
+        else spec.PDF_LINES_PER_PAGE
+    )
+    pages_lines = [lines[i : i + per_page] for i in range(0, len(lines), per_page)]
+
+    objects: dict[int, bytes] = {}
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+
+    flate = variant == "pdf_flate"
+    n_pages = len(pages_lines)
+    page_obj_base = 10  # pages at 10, 12, 14...; streams at 11, 13, 15...
+
+    if variant == "pdf_cmap":
+        # Type0 font with ToUnicode CMap stream (obj 4)
+        objects[3] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic-Identity"
+            b" /Encoding /Identity-H /ToUnicode 4 0 R /Name /F1 >>"
+        )
+        objects[4] = _stream_obj(_tounicode_cmap(), flate=False)
+    else:
+        objects[3] = _FONT_SIMPLE
+
+    kids = []
+    for p, plines in enumerate(pages_lines):
+        pnum = page_obj_base + 2 * p
+        snum = pnum + 1
+        kids.append(b"%d 0 R" % pnum)
+        if variant == "pdf_kerned":
+            content = _text_stream_kerned(plines)
+        elif variant == "pdf_cmap":
+            content = _text_stream_cmap(plines)
+        elif variant == "pdf_graphics":
+            content = _graphics_stream(doc_id, plines)
+        else:
+            content = _text_stream_plain(plines)
+        objects[snum] = _stream_obj(content, flate=flate)
+        if variant == "pdf_multipage":
+            # inherit Resources + MediaBox from the Pages node
+            objects[pnum] = (
+                b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % snum
+            )
+        else:
+            objects[pnum] = (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %g %g]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents %d 0 R >>" % (spec.PAGE_W, spec.PAGE_H, snum)
+            )
+
+    pages_dict = b"<< /Type /Pages /Kids [" + b" ".join(kids) + b"] /Count %d" % n_pages
+    if variant == "pdf_multipage":
+        pages_dict += (
+            b" /MediaBox [0 0 %g %g]"
+            b" /Resources << /Font << /F1 3 0 R >> >>" % (spec.PAGE_W, spec.PAGE_H)
+        )
+    pages_dict += b" >>"
+    objects[2] = pages_dict
+
+    return _assemble(objects), golden
+
+
+def build_payload(doc_id: int, text: str) -> tuple[bytes, str, str]:
+    """Full corpus row payload: (payload_bytes, golden_text, variant)."""
+    variant = spec.variant_of(doc_id)
+    if variant == "malformed":
+        return b"%PDF-1.4\n\x00\x01truncated-garbage", "", variant
+    if variant == "html":
+        from .htmlwrite import build_html  # local import: avoids cycle
+
+        body = spec.body_of(doc_id, text)
+        return build_html(doc_id, body), spec.html_golden(body), variant
+    return (*build_pdf(doc_id, text, variant), variant)

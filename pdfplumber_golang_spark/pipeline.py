@@ -1,0 +1,164 @@
+"""The extraction pipeline: pages table → per-page rows → per-doc text.
+
+Spark-first design (SURVEY §3.2 "Spark shape"):
+  * one ``mapInPandas`` stage runs the whole per-document kernel
+    (bytes → chars → layout → text) — no cross-node boundary inside a doc;
+  * explicit column pruning before the UDF (a pandas UDF is opaque to
+    Catalyst, so we select only (url, html) ourselves);
+  * skew: repartition by ``xxhash64(url)`` with an extra salt bucket for
+    mega-payloads (``length(html) > threshold``) so one hot partition can't
+    stall the stage (north_rule skew requirement) — docs are atomic units so
+    salting spreads *documents*, pages explode afterwards;
+  * per-doc text reassembly is a groupBy over (url), shuffle keyed the same
+    way as the repartition so AQE can coalesce.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .kernel.extract import extract_document
+
+PAGE_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("n_edges", T.IntegerType()),
+        T.StructField("n_rects", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+CHAR_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("char_idx", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("font", T.StringType()),
+        T.StructField("font_size", T.DoubleType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("width", T.DoubleType()),
+        T.StructField("height", T.DoubleType()),
+    ]
+)
+
+#: payloads above this byte size get their own salt buckets (mega-docs)
+MEGA_BYTES = 64 * 1024
+N_SALT = 8
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows: dict[str, list] = {f.name: [] for f in PAGE_ROWS_SCHEMA.fields}
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            pages, err = extract_document(url, bytes(raw))
+            if err is not None:
+                rows["url"].append(url)
+                rows["page_no"].append(0)
+                rows["kind"].append("error")
+                rows["text"].append(None)
+                rows["n_chars"].append(0)
+                rows["n_words"].append(0)
+                rows["n_edges"].append(0)
+                rows["n_rects"].append(0)
+                rows["error"].append(err)
+                continue
+            for p in pages:
+                rows["url"].append(url)
+                rows["page_no"].append(p.page_no)
+                rows["kind"].append(p.kind)
+                rows["text"].append(p.text)
+                rows["n_chars"].append(p.n_chars)
+                rows["n_words"].append(p.n_words)
+                rows["n_edges"].append(p.n_edges)
+                rows["n_rects"].append(p.n_rects)
+                rows["error"].append(None)
+        yield pd.DataFrame(rows)
+
+
+def _char_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in CHAR_ROWS_SCHEMA.fields]
+    for pdf in it:
+        out: dict[str, list] = {c: [] for c in cols}
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            pages, err = extract_document(url, bytes(raw))
+            if err is not None:
+                continue
+            for p in pages:
+                for i, ch in enumerate(p.chars):
+                    t, font, size, x0, y0, x1, y1, w, h = ch
+                    out["url"].append(url)
+                    out["page_no"].append(p.page_no)
+                    out["char_idx"].append(i)
+                    out["text"].append(t)
+                    out["font"].append(font)
+                    out["font_size"].append(size)
+                    out["x0"].append(x0)
+                    out["y0"].append(y0)
+                    out["x1"].append(x1)
+                    out["y1"].append(y1)
+                    out["width"].append(w)
+                    out["height"].append(h)
+        yield pd.DataFrame(out)
+
+
+def _salted(pages: DataFrame, parallelism: int) -> DataFrame:
+    """Prune to (url, html) and spread docs by url-hash with mega-doc salt."""
+    salt = F.when(
+        F.length("html") > MEGA_BYTES, F.pmod(F.xxhash64("url", F.lit(1)), F.lit(N_SALT))
+    ).otherwise(F.lit(0))
+    return (
+        pages.select("url", "html")
+        .repartition(parallelism, F.xxhash64("url"), salt)
+    )
+
+
+def extract_pages(pages: DataFrame, parallelism: int = 32) -> DataFrame:
+    """pages table → per-page extraction rows (the core stage)."""
+    return _salted(pages, parallelism).mapInPandas(
+        _extract_batches, schema=PAGE_ROWS_SCHEMA
+    )
+
+
+def extract_chars(pages: DataFrame, parallelism: int = 32) -> DataFrame:
+    """pages table → flat chars relation (SURVEY §1.1: the central relation)."""
+    return _salted(pages, parallelism).mapInPandas(
+        _char_batches, schema=CHAR_ROWS_SCHEMA
+    )
+
+
+def doc_text(page_rows: DataFrame) -> DataFrame:
+    """Per-doc extracted text: pages '\n'-joined in page order.
+
+    sort_array over (page_no, text) structs keeps the agg shuffle-free of
+    window functions; one groupBy shuffle keyed by url.
+    """
+    return (
+        page_rows.where(F.col("error").isNull())
+        .groupBy("url")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("page_no", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_pages"),
+        )
+    )

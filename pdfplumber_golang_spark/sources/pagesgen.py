@@ -1,0 +1,89 @@
+"""Pages-table source: synthesize the Common-Crawl-style input table.
+
+Builds the BASELINE.json ``input_hint`` table
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
+deterministically from the driver's ``documents`` parquet — every payload is
+a pure function of (doc_id, text), so goldens are independently computable
+(spec.py). Runs distributed via mapInPandas (the payload build is the
+expensive part: PDF assembly + zlib).
+
+At real scale this table would be an Iceberg table of WARC captures; here
+``spark.read.parquet`` on the synthesized output plays that role (same
+columnar scan path, partition pruning and predicate pushdown apply
+identically).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import spec
+from ..kernel.pdfwrite import build_payload
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),     # golden extracted text
+        T.StructField("lang", T.StringType()),
+        T.StructField("doc_id", T.LongType()),     # kept for oracle joins
+        T.StructField("variant", T.StringType()),
+    ]
+)
+
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        urls, tss, payloads, goldens, langs, ids, variants = [], [], [], [], [], [], []
+        for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            doc_id = int(doc_id)
+            payload, golden, variant = build_payload(doc_id, text)
+            urls.append(spec.url_of(doc_id))
+            tss.append(_EPOCH + datetime.timedelta(seconds=13 * doc_id))
+            payloads.append(payload)
+            goldens.append(golden)
+            langs.append(lang)
+            ids.append(doc_id)
+            variants.append(variant)
+        yield pd.DataFrame(
+            {
+                "url": urls, "warc_ts": tss, "html": payloads,
+                "text": goldens, "lang": langs, "doc_id": ids,
+                "variant": variants,
+            }
+        )
+
+
+def build_pages(spark: SparkSession, sf_dir: str, parallelism: int = 32) -> DataFrame:
+    """documents.parquet → pages DataFrame (deterministic, distributed)."""
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text", "lang")
+        .repartition(parallelism, F.col("doc_id"))
+    )
+    return docs.mapInPandas(_gen_batches, schema=PAGES_SCHEMA)
+
+
+def pages_cache_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/root/repo/.pages_cache", tag)
+
+
+def load_or_build_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized pages table (parquet cache — stands in for the Iceberg
+    source table; built once per scale factor)."""
+    path = pages_cache_path(sf_dir)
+    success = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(success):
+        build_pages(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

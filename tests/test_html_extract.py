@@ -1,0 +1,41 @@
+"""HTML boilerplate-strip heuristic tests."""
+
+from pdfplumber_golang_spark import spec
+from pdfplumber_golang_spark.kernel.html_extract import extract_html_text
+from pdfplumber_golang_spark.kernel.htmlwrite import build_html
+
+
+def test_strips_nav_header_footer_script():
+    html = b"""<html><head><title>T</title><script>x()</script></head><body>
+    <nav><a href=/>Home</a> <a href=/x>X</a></nav>
+    <header><h1>Site</h1></header>
+    <p>Main content paragraph one.</p>
+    <p>Second paragraph.</p>
+    <footer><a href=/t>terms</a></footer></body></html>"""
+    assert extract_html_text(html) == "Main content paragraph one.\nSecond paragraph."
+
+
+def test_link_density_filter():
+    html = b"""<body>
+    <div><a href=/1>all</a> <a href=/2>links</a> <a href=/3>here</a></div>
+    <div>real sentence with enough plain text to keep</div></body>"""
+    assert extract_html_text(html) == "real sentence with enough plain text to keep"
+
+
+def test_mixed_block_under_density_threshold_kept():
+    html = b"<body><p>long plain text sentence <a href=/x>tiny</a> more plain text here</p></body>"
+    out = extract_html_text(html)
+    assert "long plain text sentence" in out and "tiny" in out
+
+
+def test_generator_roundtrip_identity():
+    body = "alpha beta gamma " * 20
+    body = body.strip()
+    got = extract_html_text(build_html(3, body))
+    assert got == spec.html_golden(body)
+
+
+def test_entities_and_misnesting_tolerated():
+    html = b"<body><p>a &amp; b<div>next block</p></div></body>"
+    out = extract_html_text(html)
+    assert "a & b" in out and "next block" in out

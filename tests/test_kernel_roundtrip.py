@@ -1,0 +1,79 @@
+"""Golden end-to-end kernel assertions (no Spark).
+
+Port of the reference's golden-fixture strategy
+(/root/reference/pdf_test.go:22-106, cmd/compare_accurate/main.go:85-128):
+known text, first-char identity, page dims, per-variant byte-identity over
+the real driver corpus."""
+
+import duckdb
+import pytest
+
+from pdfplumber_golang_spark import spec
+from pdfplumber_golang_spark.kernel.extract import extract_document, parse_pdf_objects
+from pdfplumber_golang_spark.kernel.pdfwrite import build_payload, build_pdf
+
+SAMPLE_TEXT = "Dummy PDF file"
+
+
+def test_plain_pdf_golden_text():
+    data, golden = build_pdf(0, SAMPLE_TEXT, "pdf_plain")
+    pages, err = extract_document("u", data)
+    assert err is None
+    assert len(pages) == 1
+    assert pages[0].text == SAMPLE_TEXT == golden
+
+
+def test_first_char_position():
+    # mirror of compare_accurate: first char, exact position and font size
+    data, _ = build_pdf(0, SAMPLE_TEXT, "pdf_plain")
+    [(page_no, mediabox, interp)] = list(parse_pdf_objects(data))
+    first = interp.chars[0]
+    assert first[0] == "D"
+    assert first[2] == spec.FONT_SIZE
+    assert first[3] == spec.TEXT_X0  # x0
+    assert first[4] == spec.TEXT_Y0  # y0 (baseline, PDF coords)
+    assert mediabox == (0.0, 0.0, spec.PAGE_W, spec.PAGE_H)
+
+
+def test_multipage_inheritance():
+    text = "x" * (spec.PDF_WRAP * spec.PDF_MULTIPAGE_LINES * 2 + 5)
+    data, golden = build_pdf(0, text, "pdf_multipage")
+    pages, err = extract_document("u", data)
+    assert err is None
+    assert len(pages) == 3  # 2 full pages + remainder
+    # MediaBox inherited from the Pages node
+    assert pages[0].width == spec.PAGE_W and pages[0].height == spec.PAGE_H
+    assert "\n".join(p.text for p in pages) == golden
+
+
+@pytest.mark.parametrize("variant", ["pdf_plain", "pdf_flate", "pdf_kerned", "pdf_cmap"])
+def test_variant_byte_identity(variant):
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    text = text.strip()
+    data, golden = build_pdf(7, text, variant)
+    pages, err = extract_document("u", data)
+    assert err is None
+    got = "\n".join(p.text for p in pages)
+    assert got == golden == spec.pdf_golden(text)
+
+
+def test_malformed_yields_error_not_crash():
+    pages, err = extract_document("u", b"%PDF-1.4\n\x00junk")
+    assert pages == [] and err is not None
+    pages, err = extract_document("u", b"")
+    assert err is None  # empty -> html route, empty text
+    assert pages[0].text == ""
+
+
+def test_full_corpus_byte_identity_sf0001():
+    rows = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    for doc_id, text in rows:
+        payload, golden, variant = build_payload(doc_id, text)
+        pages, err = extract_document(spec.url_of(doc_id), payload)
+        if variant == "malformed":
+            assert err is not None
+            continue
+        assert err is None, (doc_id, variant, err)
+        assert "\n".join(p.text for p in pages) == golden, (doc_id, variant)

@@ -1,0 +1,69 @@
+"""Layout-analysis unit tests (SURVEY §2.5 Y1-Y7 semantics)."""
+
+from pdfplumber_golang_spark import spec
+from pdfplumber_golang_spark.kernel.layout import (
+    extract_words,
+    group_lines,
+    organize_text,
+    sort_reading_order,
+)
+
+
+def ch(t, x0, y0, w=6.0, size=12.0):
+    return (t, "F1", size, x0, y0, x0 + w, y0 + size, w, size)
+
+
+def test_reading_order_y_desc_then_x():
+    chars = [ch("b", 10, 700), ch("a", 5, 700), ch("c", 0, 688)]
+    assert [c[0] for c in sort_reading_order(chars)] == ["a", "b", "c"]
+
+
+def test_line_grouping_anchor_tolerance():
+    # jitter within yTol of the line ANCHOR (first char after sort) stays on
+    # one line; > yTol starts a new line (text_organizer.go:81-94)
+    chars = [ch("a", 0, 700), ch("b", 7, 701.5), ch("c", 14, 699.0), ch("d", 0, 688)]
+    lines = group_lines(sort_reading_order(chars))
+    texts = ["".join(c[0] for c in ln) for ln in lines]
+    # b sorts first (y=701.5 highest) -> anchor; a,c within 3.0 of anchor
+    assert texts == ["bac", "d"]
+    # anchor semantics: distance is measured to the anchor, not the neighbor —
+    # 702.5 anchor with c at 698.0 (gap 4.5) splits even though |700-698|<3
+    chars2 = [ch("a", 0, 700), ch("b", 7, 702.5), ch("c", 14, 698.0)]
+    lines2 = group_lines(sort_reading_order(chars2))
+    assert ["".join(c[0] for c in ln) for ln in lines2] == ["ba", "c"]
+
+
+def test_space_insertion_rule():
+    # gap must exceed BOTH xTol and 0.5*width (text_organizer.go:118-127)
+    a = ch("a", 0, 700, w=6)
+    b_close = ch("b", 7.0, 700, w=6)   # gap 1.0 -> no space
+    b_far = ch("b", 16.0, 700, w=6)    # gap 10 > 3 and > 3 -> space
+    assert organize_text([a, b_close]) == "ab"
+    assert organize_text([a, b_far]) == "a b"
+    # gap > xTol but <= half width -> no space
+    b_mid = ch("b", 9.5, 700, w=8)     # gap 3.5 > 3 but 0.5*8=4 >= 3.5
+    assert organize_text([a, b_mid]) == "ab"
+
+
+def test_word_extraction():
+    chars = [
+        ch("h", 0, 700), ch("i", 6, 700),
+        ch(" ", 12, 700), ch("y", 18, 700), ch("o", 24, 700),
+    ]
+    words = extract_words(chars)
+    assert [w["text"] for w in words] == ["hi", "yo"]
+    assert words[0]["x0"] == 0 and words[0]["x1"] == 12
+    assert words[1]["n_chars"] == 2
+
+
+def test_empty():
+    assert organize_text([]) == ""
+    assert extract_words([]) == []
+
+
+def test_multiline_assembly():
+    lines = []
+    for k, s in enumerate(["abc", "def"]):
+        y = 700 - k * spec.LEADING
+        lines += [ch(c, i * 7.0, y) for i, c in enumerate(s)]
+    assert organize_text(lines) == "abc\ndef"
