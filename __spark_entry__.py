@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdfplumber_golang_spark import pipeline, spec
+from pdfplumber_golang_spark.operators import layout_ops, synth_rel
 from pdfplumber_golang_spark.sources.pagesgen import load_or_build_pages
 
 
@@ -69,12 +70,102 @@ def _q_error_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- M2: layout analysis as DataFrame window/agg operators (SURVEY §2.5-7)
+
+def _q_line_sessionize(spark, sf_dir):
+    """Y2 sessionize: line count per url from lag+cumsum line ids."""
+    chars = synth_rel.chars_rel(spark, sf_dir)
+    return (
+        layout_ops.with_line_ids(chars)
+        .groupBy("url")
+        .agg(
+            F.max("line_id").cast("long").alias("n_lines"),
+            F.count("*").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _q_line_texts(spark, sf_dir):
+    """Y3+Y6: per-line reassembled text (gap space-insertion rule)."""
+    chars = synth_rel.chars_rel(spark, sf_dir)
+    return layout_ops.lines(chars).select(
+        "url", F.col("line_id").cast("long").alias("line_id"), "line_text"
+    )
+
+
+def _q_word_agg(spark, sf_dir):
+    """Y4+Y5: word sessionize + aggregation — counts per url."""
+    chars = synth_rel.chars_rel(spark, sf_dir)
+    return (
+        layout_ops.words(chars)
+        .groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _q_layout_page_text(spark, sf_dir):
+    """Y7: full document text re-assembled by the DataFrame pipeline —
+    must be byte-identical to the PDF golden wrap."""
+    chars = synth_rel.chars_rel(spark, sf_dir)
+    return layout_ops.doc_text_from_chars(chars).select("url", "text")
+
+
+def _q_edge_dedup(spark, sf_dir):
+    """G4/G5: near-duplicate segment removal on snapped keys."""
+    edges = synth_rel.edges_rel(spark, sf_dir)
+    return (
+        layout_ops.dedup_edges(edges)
+        .groupBy("url")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+
+
+def _q_edge_orientation(spark, sf_dir):
+    """T2: h/v classification counts per url."""
+    edges = synth_rel.edges_rel(spark, sf_dir)
+    return (
+        layout_ops.classify_orientation(edges)
+        .groupBy("url", "orientation")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+
+
+def _q_edge_consolidate(spark, sf_dir):
+    """G8: collinear segment consolidation — runs + total span per url."""
+    edges = synth_rel.edges_rel(spark, sf_dir)
+    runs = layout_ops.consolidate_edges(edges)
+    return runs.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.round(F.sum(F.col("hi") - F.col("lo")), 3).alias("total_span"),
+        F.sum("n_segments").cast("long").alias("n_segments"),
+    )
+
+
+def _q_column_histogram(spark, sf_dir):
+    """T8: snapped char-x0 histogram, count >= 3."""
+    chars = synth_rel.chars_rel(spark, sf_dir)
+    return layout_ops.column_histogram(chars).select(
+        "url", F.col("col_x").cast("double").alias("col_x"), "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text_html": _q_extract_html,
         "extract_text_pdf": _q_extract_pdf,
         "pdf_page_counts": _q_page_counts,
         "error_routing": _q_error_routing,
+        "layout_line_sessionize": _q_line_sessionize,
+        "layout_line_texts": _q_line_texts,
+        "layout_word_agg": _q_word_agg,
+        "layout_page_text": _q_layout_page_text,
+        "edge_dedup": _q_edge_dedup,
+        "edge_orientation": _q_edge_orientation,
+        "edge_consolidate": _q_edge_consolidate,
+        "column_histogram": _q_column_histogram,
     }
 
 
@@ -100,5 +191,61 @@ FROM documents WHERE {spec.SQL_IS_PDF}
 SELECT {spec.SQL_URL} AS url, CAST(1 AS BIGINT) AS n_errors
 FROM documents
 WHERE doc_id % {spec.MALFORMED_MOD} = {spec.MALFORMED_REM}
+""",
+        # ---- M2 layout/edge operators: closed-form oracles -------------
+        "layout_line_sessionize": f"""
+SELECT {spec.SQL_URL} AS url,
+       CAST((length(text) - 1) // {w} + 1 AS BIGINT) AS n_lines,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+        "layout_line_texts": f"""
+SELECT {spec.SQL_URL} AS url, CAST(i + 1 AS BIGINT) AS line_id,
+       substr(text, CAST(i * {w} + 1 AS INT), {w}) AS line_text
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0, (length(text) - 1) // {w})) AS i
+      FROM documents)
+""",
+        "layout_word_agg": f"""
+WITH lines AS (
+  SELECT doc_id,
+         substr(text, CAST(i * {w} + 1 AS INT), {w}) AS line
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(0, (length(text) - 1) // {w})) AS i
+        FROM documents)
+)
+SELECT {spec.SQL_URL} AS url,
+       CAST(SUM(len(list_filter(string_split(line, ' '), x -> x <> ''))) AS BIGINT) AS n_words,
+       CAST(SUM(length(replace(line, ' ', ''))) AS BIGINT) AS n_chars
+FROM lines GROUP BY doc_id
+""",
+        "layout_page_text": spec.pdf_golden_duckdb_sql("1=1"),
+        "edge_dedup": """
+SELECT 'https://host' || CAST(doc_id % 97 AS STRING) || '.example/doc' || CAST(doc_id AS STRING) AS url,
+       CAST(2 * (3 + doc_id % 3 + 1) + (3 + doc_id % 2 + 1) AS BIGINT) AS n_edges
+FROM documents
+""",
+        "edge_orientation": """
+SELECT 'https://host' || CAST(doc_id % 97 AS STRING) || '.example/doc' || CAST(doc_id AS STRING) AS url,
+       'h' AS orientation, CAST(4 * (3 + doc_id % 3 + 1) AS BIGINT) AS n_edges
+FROM documents
+UNION ALL
+SELECT 'https://host' || CAST(doc_id % 97 AS STRING) || '.example/doc' || CAST(doc_id AS STRING) AS url,
+       'v' AS orientation, CAST(2 * (3 + doc_id % 2 + 1) AS BIGINT) AS n_edges
+FROM documents
+""",
+        "edge_consolidate": f"""
+SELECT {spec.SQL_URL} AS url,
+       CAST((3 + doc_id % 3 + 1) + (3 + doc_id % 2 + 1) AS BIGINT) AS n_runs,
+       CAST((3 + doc_id % 3 + 1) * (3 + doc_id % 2) * {synth_rel.GRID_CELL_W}
+          + (3 + doc_id % 2 + 1) * (3 + doc_id % 3) * {synth_rel.GRID_CELL_H} AS DOUBLE) AS total_span,
+       CAST(4 * (3 + doc_id % 3 + 1) + 2 * (3 + doc_id % 2 + 1) AS BIGINT) AS n_segments
+FROM documents
+""",
+        "column_histogram": f"""
+WITH {synth_rel.CHARS_REL_DUCKDB.strip()}
+SELECT url, CAST(round(x0 / 3) * 3 AS DOUBLE) AS col_x,
+       CAST(COUNT(*) AS BIGINT) AS n_chars
+FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
 """,
     }

@@ -74,7 +74,8 @@ def url_of(doc_id: int) -> str:
 # SQL fragments (ANSI, runnable by both DuckDB and Spark SQL) -------------
 
 #: url expression over a `documents` row
-SQL_URL = "'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc' || CAST(doc_id AS VARCHAR)"
+#: portable: Spark SQL requires STRING; DuckDB accepts STRING as VARCHAR alias
+SQL_URL = "'https://host' || CAST(doc_id % 97 AS STRING) || '.example/doc' || CAST(doc_id AS STRING)"
 
 #: predicate selecting rows of a given variant class
 SQL_IS_HTML = f"(doc_id % {MALFORMED_MOD} <> {MALFORMED_REM} AND doc_id % 10 <= 5)"
