@@ -42,13 +42,16 @@ def test_queries_match_oracles(spark):
         f"create view documents as select * from '{SF_DIR}/documents.parquet'"
     )
     for name, fn in qs.items():
-        sdf = fn(spark, SF_DIR).toPandas().sort_values("url").reset_index(drop=True)
+        sdf = fn(spark, SF_DIR).toPandas()
         assert name in oracles, name
-        odf = con.sql(oracles[name]).df().sort_values("url").reset_index(drop=True)
+        odf = con.sql(oracles[name]).df()
         assert len(sdf) == len(odf), (name, len(sdf), len(odf))
         assert sorted(sdf.columns) == sorted(odf.columns), name
-        for col in sorted(sdf.columns):
-            assert sdf[col].tolist() == odf[col].tolist(), (name, col)
+        # order-insensitive: sort both by ALL columns (driver-gate semantics)
+        cols = sorted(sdf.columns)
+        svals = sorted(tuple(str(v) for v in r) for r in sdf[cols].itertuples(index=False))
+        ovals = sorted(tuple(str(v) for v in r) for r in odf[cols].itertuples(index=False))
+        assert svals == ovals, (name, next((a, b) for a, b in zip(svals, ovals) if a != b))
 
 
 def test_mega_doc_salting_routes(pages, spark):
