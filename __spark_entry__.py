@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdfplumber_golang_spark import pipeline, spec
+from pdfplumber_golang_spark.functions import ann, dedup, multimodal, text_analysis
 from pdfplumber_golang_spark.operators import layout_ops, synth_rel
 from pdfplumber_golang_spark.sources.pagesgen import load_or_build_pages
 
@@ -166,6 +167,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_orientation": _q_edge_orientation,
         "edge_consolidate": _q_edge_consolidate,
         "column_histogram": _q_column_histogram,
+        # training-data pipeline operators
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.minhash_lsh_candidates,
+        "dedup_simhash": dedup.simhash,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "text_langid": text_analysis.lang_id,
+        "text_quality": text_analysis.quality_score,
+        "text_token_count": text_analysis.token_count,
+        "text_fingerprint": text_analysis.fingerprint,
+        "ann_bruteforce": ann.ann_bruteforce,
+        "ann_lsh": ann.ann_lsh,
+        "media_features": multimodal.media_features_q,
     }
 
 
@@ -248,4 +261,16 @@ SELECT url, CAST(round(x0 / 3) * 3 AS DOUBLE) AS col_x,
        CAST(COUNT(*) AS BIGINT) AS n_chars
 FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
 """,
+        # training-data pipeline operators
+        "dedup_exact": dedup.dedup_exact_oracle(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
+        "dedup_simhash": dedup.simhash_oracle(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
+        "text_langid": text_analysis.lang_id_oracle(),
+        "text_quality": text_analysis.quality_score_oracle(),
+        "text_token_count": text_analysis.token_count_oracle(),
+        "text_fingerprint": text_analysis.fingerprint_oracle(),
+        "ann_bruteforce": ann.ann_bruteforce_oracle(),
+        "ann_lsh": ann.ann_lsh_oracle(),
+        "media_features": multimodal.media_features_oracle(),
     }

@@ -1,0 +1,195 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+Brute-force cosine top-k as the correctness baseline (broadcast the query
+set — never cross-join two big sides), plus a random-hyperplane LSH-bucketed
+variant as the scale path (bucket equi-join; at 10^12 vectors the buckets
+bound the candidate set).
+
+Float determinism: all arithmetic is float64 with identical evaluation
+order in Spark (`F.aggregate` left fold) and DuckDB (list_sum over
+list_transform), so rounded scores compare exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_QUERIES = 5   # vec_id < N_QUERIES are the query set
+TOP_K = 10
+LSH_PLANES = 8  # random-hyperplane signature bits
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        )
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-K: queries (vec_id < N_QUERIES) vs the rest."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cand_id").cast("long").alias("neighbor_id"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+def ann_bruteforce_oracle() -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(generate_series(1, len(q.v)),
+                                 i -> q.v[i] * c.v[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+          * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+  FROM emb q, emb c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(cand_id AS BIGINT) AS neighbor_id, ROUND(cos, 4) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _signature(v_col):
+    """LSH signature: bit j = (dot(v, h_j) > 0) where hyperplane h_j has
+    ±1 weights from parity of md5 hex chars (portable, deterministic).
+    weight(j, d) = 2*(ascii(md5(j||'_'||d)[1]) % 2) - 1."""
+    bits = []
+    for j in range(LSH_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                v_col,
+                F.sequence(F.lit(0), F.size(v_col) - 1),
+                lambda x, d: x
+                * (
+                    (
+                        F.ascii(
+                            F.substring(
+                                F.md5(F.concat_ws("_", F.lit(j), d)), 1, 1
+                            )
+                        )
+                        % 2
+                    )
+                    * 2
+                    - 1
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, 2 ** j).otherwise(0))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates restricted to the query's bucket.
+    Output: (query_id, neighbor_id, cosine) for bucket-mates ranked top-K."""
+    emb = _emb(spark, sf_dir).withColumn("sig", _signature(F.col("v")).cast("int"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "sig"
+    )
+    c = emb.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "sig"
+    )
+    scored = c.join(F.broadcast(q), "sig").select(
+        "query_id",
+        "cand_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cand_id").cast("long").alias("neighbor_id"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+def ann_lsh_oracle() -> str:
+    weight = (
+        "2 * (ascii(substr(md5(CAST(j AS STRING) || '_' || CAST(d - 1 AS STRING)), 1, 1)) % 2) - 1"
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, v,
+         CAST(SUM(CASE WHEN proj > 0 THEN 1 << j ELSE 0 END) AS INT) AS sig
+  FROM (
+    SELECT vec_id, v, j,
+           list_sum(list_transform(generate_series(1, len(v)),
+                    d -> v[d] * ({weight}))) AS proj
+    FROM emb, (SELECT unnest(generate_series(0, {LSH_PLANES - 1})) AS j)
+  ) GROUP BY vec_id, v
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+          * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+  FROM sigs q JOIN sigs c ON q.sig = c.sig
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(cand_id AS BIGINT) AS neighbor_id, ROUND(cos, 4) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""

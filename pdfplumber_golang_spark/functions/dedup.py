@@ -1,0 +1,284 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All pure pyspark.sql built-ins (shuffle-conscious shapes that survive 100TB:
+shingle explode → per-doc agg is map-side combinable; LSH band join is an
+equi-join on band keys, never an all-pairs cross join). Every hash is
+md5-hex so the DuckDB oracle evaluates bit-identically.
+
+Test corpus: ``documents`` plus injected duplicates — doc_id+1,000,000 is an
+exact copy, doc_id+2,000,000 (every 5th doc) a near-copy with the last word
+dropped — so the operators have actual positives to find, deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import spec
+
+MINHASH_K = 8          # minhash functions
+LSH_BAND_SIZE = 2      # rows per band -> 4 bands
+SHINGLE_N = 3          # word n-grams
+JACCARD_THRESHOLD = 0.5
+
+#: exact duplicate: doc_id + 1_000_000; near-dup (last word dropped):
+#: doc_id + 2_000_000 for doc_id % 5 == 0
+DUP_OFFSET = 1_000_000
+NEAR_OFFSET = 2_000_000
+
+#: DuckDB/Spark-portable corpus CTE (documents + injected duplicates)
+def corpus_sql() -> str:
+    return f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {NEAR_OFFSET} AS doc_id,
+         substr(text, 1, length(text) - length(string_split(text, ' ')[len(string_split(text, ' '))]) - 1) AS text
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    exact = docs.select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+    )
+    words = F.split(F.col("text"), " ")
+    dropped = F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1))
+    near = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+        dropped.alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# ------------------------------------------------------------------ exact --
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); representative = min doc_id."""
+    c = dup_corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("rep_doc_id"),
+        )
+    )
+
+
+def dedup_exact_oracle() -> str:
+    return f"""
+WITH {corpus_sql().strip()}
+SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
+FROM corpus GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------- shingles --
+
+def _shingles(c: DataFrame) -> DataFrame:
+    """Word SHINGLE_N-grams per doc (distinct)."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_N - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, SHINGLE_N)))
+    return c.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+_SHINGLES_SQL = f"""
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), i, i + {SHINGLE_N - 1}), ' ') AS shingle
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, GREATEST(len(string_split(text, ' ')) - {SHINGLE_N - 1}, 1))) AS i
+        FROM corpus)
+)
+"""
+
+
+# ----------------------------------------------------------------- minhash --
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs.
+
+    signature[k] = min over shingles of md5(k || '|' || shingle)
+    band b = concat of its LSH_BAND_SIZE signature rows; docs sharing any
+    band key become a candidate pair (equi-join on (band_id, band_key) —
+    the only join, no cross product; this is the scale path)."""
+    c = dup_corpus(spark, sf_dir)
+    sh = _shingles(c)
+    ks = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("k"))
+    sig = (
+        sh.crossJoin(F.broadcast(ks))
+        .groupBy("doc_id", "k")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("k"), F.col("shingle")))).alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band_id", (F.col("k") / LSH_BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.sort_array(F.collect_list(F.struct("k", "mh"))),
+                                lambda s: s["mh"])
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").cast("long").alias("doc_a"),
+            F.col("b.doc_id").cast("long").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_lsh_oracle() -> str:
+    return f"""
+WITH {corpus_sql().strip()},
+{_SHINGLES_SQL.strip()},
+ks AS (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS k),
+sig AS (
+  SELECT doc_id, k, MIN(md5(CAST(k AS STRING) || '|' || shingle)) AS mh
+  FROM shingles, ks GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, CAST(k // {LSH_BAND_SIZE} AS INT) AS band_id,
+         string_agg(mh, '' ORDER BY k) AS band_key
+  FROM sig GROUP BY doc_id, band_id
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM bands a JOIN bands b USING (band_id, band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# ----------------------------------------------------------------- simhash --
+
+SIMHASH_BITS = 16
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMHASH_BITS-bit SimHash over word tokens: bit i of a token =
+    parity of ascii(md5(token)[i]); doc bit i = majority vote."""
+    c = dup_corpus(spark, sf_dir)
+    toks = c.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    h = F.md5("tok")
+    bit_votes = [
+        F.sum(
+            (F.ascii(F.substring(h, i + 1, 1)) % 2) * 2 - 1
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    sh = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, 2 ** i).otherwise(0)
+        sh = term if sh is None else sh + term
+    return votes.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        sh.cast("long").alias("simhash"),
+    )
+
+
+def simhash_oracle() -> str:
+    vote_cols = ", ".join(
+        f"SUM((ascii(substr(md5(tok), {i + 1}, 1)) % 2) * 2 - 1) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sh_expr = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {corpus_sql().strip()},
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+),
+votes AS (
+  SELECT doc_id, {vote_cols} FROM toks GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({sh_expr} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+# --------------------------------------------------------- ngram jaccard ---
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set Jaccard over candidate pairs that share >= 1 shingle.
+
+    intersection via shingle equi-join + count distinct; union =
+    |A| + |B| - intersection. Scale note: the shingle join explodes on hot
+    shingles — at 100TB you'd pre-filter shingles by document frequency
+    (drop df>threshold), which is a single groupBy; done here too."""
+    c = dup_corpus(spark, sf_dir)
+    sh = _shingles(c)
+    # df-filter: drop shingles appearing in > 50 docs (stopword shingles)
+    df_ok = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") <= 50)
+    sh = sh.join(df_ok.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return jac.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "jaccard",
+    )
+
+
+def ngram_jaccard_oracle() -> str:
+    return f"""
+WITH {corpus_sql().strip()},
+{_SHINGLES_SQL.strip()},
+df_ok AS (
+  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 50
+),
+sh2 AS (SELECT s.* FROM shingles s JOIN df_ok USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh2 a JOIN sh2 b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+"""

@@ -1,0 +1,186 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+Language-ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all pure
+pyspark.sql built-ins (JVM-side, whole-stage codegen; no Python UDFs), each
+with a closed-form SQL oracle.
+
+Portability constraint: every expression here must evaluate identically in
+Spark SQL and DuckDB (used by the correctness oracle), so hashes are md5-hex
+and bit tricks go through ascii(substr(md5(x), i, 1)) % 2.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import spec
+
+#: tiny per-language stopword lists (public common function words)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en"],
+    "zh": ["de", "shi", "le", "zai", "he", "you", "wo", "ta"],
+}
+
+#: BPE-ish token regex: letter runs, digit runs, single punctuation
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text", "lang")
+        .withColumn("url", F.expr(spec.SQL_URL))
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID: predicted = argmax over languages of
+    (# tokens in that language's stopword list), ties broken by language
+    code. Explode+broadcast-join+window — the shape that scales (the
+    stopword table is broadcast; one shuffle on (url, lang))."""
+    docs = _docs(spark, sf_dir)
+    tokens = docs.select(
+        "url", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
+        ["cand_lang", "tok"],
+    )
+    votes = (
+        tokens.join(F.broadcast(sw), "tok")
+        .groupBy("url", "cand_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.desc("n_hits"), F.asc("cand_lang"))
+    best = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("url", F.col("cand_lang").alias("pred_lang"),
+                F.col("n_hits").cast("long").alias("n_hits"))
+    )
+    # docs with zero stopword hits get pred_lang = 'und'
+    return (
+        docs.select("url")
+        .join(best, "url", "left")
+        .select(
+            "url",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+def lang_id_oracle() -> str:
+    values = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in STOPWORDS.items() for w in ws
+    )
+    return f"""
+WITH sw(cand_lang, tok) AS (VALUES {values}),
+toks AS (
+  SELECT {spec.SQL_URL} AS url, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT url, cand_lang, COUNT(*) AS n_hits
+  FROM toks JOIN sw USING (tok)
+  GROUP BY url, cand_lang
+),
+best AS (
+  SELECT url, cand_lang AS pred_lang, n_hits,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY n_hits DESC, cand_lang ASC) AS rn
+  FROM votes
+)
+SELECT d.url, COALESCE(b.pred_lang, 'und') AS pred_lang,
+       CAST(COALESCE(b.n_hits, 0) AS BIGINT) AS n_hits
+FROM (SELECT {spec.SQL_URL} AS url FROM documents) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features + score: length, mean word length,
+    stopword ratio, alpha ratio. score = 0.4*stop + 0.3*alpha +
+    0.3*min(n_words/100, 1)."""
+    docs = _docs(spark, sf_dir)
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_arr = F.array(*[F.lit(x) for x in all_sw])
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(sw_arr, x)))
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_chars = F.length("text")
+    score = (
+        0.4 * (n_stop / n_words)
+        + 0.3 * (n_alpha / n_chars)
+        + 0.3 * F.least(n_words / F.lit(100.0), F.lit(1.0))
+    )
+    return docs.select(
+        "url",
+        n_words.cast("long").alias("n_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def quality_score_oracle() -> str:
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_list = "[" + ", ".join(f"'{x}'" for x in all_sw) + "]"
+    return f"""
+SELECT {spec.SQL_URL} AS url,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(list_filter(string_split(text, ' '),
+                 x -> list_contains({sw_list}, x))) AS BIGINT) AS n_stopwords,
+       ROUND(
+         0.4 * (len(list_filter(string_split(text, ' '),
+                    x -> list_contains({sw_list}, x)))::DOUBLE
+                / len(string_split(text, ' '))) +
+         0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                / length(text)) +
+         0.3 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0), 4) AS quality
+FROM documents
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "url",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def token_count_oracle() -> str:
+    return f"""
+SELECT {spec.SQL_URL} AS url,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
+    return docs.select("url", F.md5(norm).alias("fingerprint"))
+
+
+def fingerprint_oracle() -> str:
+    return f"""
+SELECT {spec.SQL_URL} AS url,
+       md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint
+FROM documents
+"""

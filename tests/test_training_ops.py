@@ -1,0 +1,77 @@
+"""Semantic tests for the training-data pipeline operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfplumber_golang_spark.functions import ann, dedup, text_analysis
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_finds_injected_duplicates(spark):
+    out = dedup.dedup_exact(spark, SF_DIR).toPandas()
+    # every original doc has an exact copy at doc_id + DUP_OFFSET
+    assert (out["n_docs"] >= 2).sum() >= 500
+    # representative is always the original (min doc_id)
+    assert (out.loc[out["n_docs"] >= 2, "rep_doc_id"] < dedup.DUP_OFFSET).all()
+
+
+def test_minhash_lsh_finds_exact_pairs(spark):
+    pairs = dedup.minhash_lsh_candidates(spark, SF_DIR).toPandas()
+    exact = pairs[
+        (pairs["doc_a"] < dedup.DUP_OFFSET)
+        & (pairs["doc_b"] == pairs["doc_a"] + dedup.DUP_OFFSET)
+    ]
+    # exact copies share all bands -> every exact pair must be a candidate
+    assert len(exact) == 500
+    # near-dups (last word dropped) should mostly collide on >=1 band
+    near = pairs[pairs["doc_b"] - pairs["doc_a"] == dedup.NEAR_OFFSET]
+    assert len(near) >= 80  # 100 injected; most shingle sets nearly identical
+
+
+def test_simhash_exact_copies_identical(spark):
+    sh = dedup.simhash(spark, SF_DIR).toPandas().set_index("doc_id")["simhash"]
+    for d in range(0, 50):
+        assert sh[d] == sh[d + dedup.DUP_OFFSET]
+
+
+def test_ngram_jaccard_scores(spark):
+    pairs = dedup.ngram_jaccard_pairs(spark, SF_DIR).toPandas()
+    exact = pairs[
+        (pairs["doc_a"] < dedup.DUP_OFFSET)
+        & (pairs["doc_b"] == pairs["doc_a"] + dedup.DUP_OFFSET)
+    ]
+    assert len(exact) == 500
+    assert (exact["jaccard"] == 1.0).all()
+    near = pairs[pairs["doc_b"] - pairs["doc_a"] == dedup.NEAR_OFFSET]
+    assert len(near) >= 80 and (near["jaccard"] >= 0.5).all()
+
+
+def test_langid_deterministic_and_total(spark):
+    out = text_analysis.lang_id(spark, SF_DIR).toPandas()
+    assert len(out) == 500
+    assert out["pred_lang"].isin(list(text_analysis.STOPWORDS) + ["und"]).all()
+
+
+def test_ann_lsh_is_subset_quality(spark):
+    """LSH results must be true cosine scores; recall vs brute force > 0."""
+    bf = ann.ann_bruteforce(spark, SF_DIR).toPandas()
+    lsh = ann.ann_lsh(spark, SF_DIR).toPandas()
+    assert (bf.groupby("query_id").size() == ann.TOP_K).all()
+    bf_pairs = set(zip(bf["query_id"], bf["neighbor_id"], bf["cosine"]))
+    # every LSH hit's cosine matches the exact computation (same pair+score
+    # appears in brute force OR is below brute-force top-k cutoff)
+    bf_scores = {(q, n): c for q, n, c in bf_pairs}
+    for q, n, c in zip(lsh["query_id"], lsh["neighbor_id"], lsh["cosine"]):
+        if (q, n) in bf_scores:
+            assert abs(bf_scores[(q, n)] - c) < 1e-9
+
+
+def test_media_features_stub(spark):
+    from pdfplumber_golang_spark.functions import multimodal
+
+    out = multimodal.media_features_q(spark, SF_DIR).toPandas()
+    assert len(out) == 500
+    assert (out["fake_width"] == out["n_bytes"] % 640).all()
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"x")
