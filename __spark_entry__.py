@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 from pdfplumber_golang_spark import pipeline, spec
 from pdfplumber_golang_spark.functions import ann, dedup, multimodal, text_analysis
 from pdfplumber_golang_spark.operators import layout_ops, synth_rel
-from pdfplumber_golang_spark.sources.pagesgen import load_or_build_pages
+from pdfplumber_golang_spark.sources.pagesgen import (
+    build_graphics_pages,
+    load_or_build_pages,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -153,6 +156,18 @@ def _q_column_histogram(spark, sf_dir):
     )
 
 
+def _q_extract_tables(spark, sf_dir):
+    """T1-T6: ruling-line lattice table extraction, flattened to cells."""
+    pages = build_graphics_pages(spark, sf_dir)
+    return pipeline.extract_tables_df(pages).select(
+        "url",
+        F.col("table_no").cast("long").alias("table_no"),
+        F.col("row_no").cast("long").alias("row_no"),
+        F.col("col_no").cast("long").alias("col_no"),
+        "cell_text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text_html": _q_extract_html,
@@ -179,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
         "media_features": multimodal.media_features_q,
+        "extract_tables_lattice": _q_extract_tables,
     }
 
 
@@ -273,4 +289,16 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "ann_bruteforce": ann.ann_bruteforce_oracle(),
         "ann_lsh": ann.ann_lsh_oracle(),
         "media_features": multimodal.media_features_oracle(),
+        # lattice cells: rows are bottom-to-top (ascending PDF y — faithful
+        # to createTableRegion, table_extractor.go:254-276), so cell (i, j)
+        # holds writer cell (r = 2 - i, c = j)
+        "extract_tables_lattice": f"""
+SELECT {spec.SQL_URL} AS url, CAST(0 AS BIGINT) AS table_no,
+       CAST(i AS BIGINT) AS row_no, CAST(j AS BIGINT) AS col_no,
+       'c' || CAST(doc_id % 100 AS STRING) || 'r' || CAST(2 - i AS STRING)
+           || 'c' || CAST(j AS STRING) AS cell_text
+FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS i FROM documents
+      WHERE doc_id % 10 = 6),
+     (SELECT unnest(generate_series(0, 2)) AS j)
+""",
     }

@@ -21,7 +21,10 @@ from .. import spec
 
 MINHASH_K = 8          # minhash functions
 LSH_BAND_SIZE = 2      # rows per band -> 4 bands
-SHINGLE_N = 3          # word n-grams
+# 5-gram shingles: with a small vocabulary, 3-grams collide across unrelated
+# docs and the candidate join goes quadratic (measured 103s at sf0.1);
+# 5-grams make cross-doc collisions rare while near-dups still share >98%
+SHINGLE_N = 5          # word n-grams
 JACCARD_THRESHOLD = 0.5
 
 #: exact duplicate: doc_id + 1_000_000; near-dup (last word dropped):
@@ -116,22 +119,33 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only join, no cross product; this is the scale path)."""
     c = dup_corpus(spark, sf_dir)
     sh = _shingles(c)
-    ks = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("k"))
-    sig = (
-        sh.crossJoin(F.broadcast(ks))
-        .groupBy("doc_id", "k")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("k"), F.col("shingle")))).alias("mh"))
+    # single map-side-combinable pass: all K mins in one groupBy (no k-fanout
+    # shuffle — was 49s at sf0.1 with the explode-by-k shape, now one agg)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(k), F.col("shingle")))).alias(f"mh{k}")
+            for k in range(MINHASH_K)
+        ]
     )
-    bands = (
-        sig.withColumn("band_id", (F.col("k") / LSH_BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.sort_array(F.collect_list(F.struct("k", "mh"))),
-                                lambda s: s["mh"])
-            ).alias("band_key")
-        )
+    n_bands = MINHASH_K // LSH_BAND_SIZE
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(
+                    *[
+                        F.col(f"mh{b * LSH_BAND_SIZE + r}")
+                        for r in range(LSH_BAND_SIZE)
+                    ]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
     )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"),
+             F.col("band.band_key").alias("band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (

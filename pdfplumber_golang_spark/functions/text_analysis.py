@@ -46,36 +46,28 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     code. Explode+broadcast-join+window — the shape that scales (the
     stopword table is broadcast; one shuffle on (url, lang))."""
     docs = _docs(spark, sf_dir)
-    tokens = docs.select(
-        "url", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
-    sw = spark.createDataFrame(
-        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
-        ["cand_lang", "tok"],
-    )
-    votes = (
-        tokens.join(F.broadcast(sw), "tok")
-        .groupBy("url", "cand_lang")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("url").orderBy(F.desc("n_hits"), F.asc("cand_lang"))
-    best = (
-        votes.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("url", F.col("cand_lang").alias("pred_lang"),
-                F.col("n_hits").cast("long").alias("n_hits"))
-    )
-    # docs with zero stopword hits get pred_lang = 'und'
-    return (
-        docs.select("url")
-        .join(best, "url", "left")
-        .select(
-            "url",
-            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+    words = F.split(F.col("text"), " ")
+    # one narrow pass, no explode/join/shuffle: per-language hit counts as
+    # array-filter expressions, argmax via struct array_min ((-hits, lang)
+    # ascending == hits desc, lang asc — the reference tie-break)
+    cands = []
+    for lang in sorted(STOPWORDS):
+        sw_arr = F.array(*[F.lit(x) for x in STOPWORDS[lang]])
+        hits = F.size(F.filter(words, lambda x: F.array_contains(sw_arr, x)))
+        cands.append(
+            F.struct(
+                (-hits).alias("neg"),
+                F.lit(lang).alias("lang"),
+                hits.cast("long").alias("hits"),
+            )
         )
+    best = F.array_min(F.array(*cands))
+    return docs.select(
+        "url",
+        F.when(best["hits"] == 0, F.lit("und"))
+        .otherwise(best["lang"])
+        .alias("pred_lang"),
+        best["hits"].alias("n_hits"),
     )
 
 

@@ -119,9 +119,12 @@ def _tounicode_cmap() -> bytes:
 
 # --- graphics variant: 3x3 ruled grid + cell text --------------------------
 
+# cell pitch must stay under the reference's 30pt line-group gap
+# (table_extractor.go:215) or the lattice splits into per-line groups
 GRID_X, GRID_Y = 72.0, 400.0   # top-left of grid (y = top line)
-CELL_W, CELL_H = 120.0, 24.0
+CELL_W, CELL_H = 28.0, 24.0
 GRID_COLS, GRID_ROWS = 3, 3
+GRID_FONT = 6.0                # cell text must fit in CELL_W
 
 
 def grid_cell_text(doc_id: int, r: int, c: int) -> str:
@@ -142,10 +145,10 @@ def _graphics_stream(doc_id: int, lines: list[str]) -> bytes:
         x = GRID_X + c * CELL_W
         ops.append(b"%g %g m %g %g l S" % (x, y_bot, x, GRID_Y))
     # cell text (centered-ish inside each cell)
-    cell_ops = [b"BT", b"/F1 10 Tf"]
+    cell_ops = [b"BT", b"/F1 %g Tf" % GRID_FONT]
     for r in range(GRID_ROWS):
         for c in range(GRID_COLS):
-            tx = GRID_X + c * CELL_W + 6.0
+            tx = GRID_X + c * CELL_W + 2.0
             ty = GRID_Y - r * CELL_H - 16.0
             cell_ops.append(b"1 0 0 1 %g %g Tm" % (tx, ty))
             cell_ops.append(b"(" + _esc(grid_cell_text(doc_id, r, c)) + b") Tj")

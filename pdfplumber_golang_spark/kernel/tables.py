@@ -1,0 +1,202 @@
+"""Table detection & extraction (SURVEY §2.7 T1-T12).
+
+Behavior-parity reimplementation of the reference's table extractor
+(/root/reference/pkg/pdf/table_extractor.go):
+  T1  strategy dispatch: lines first, text-based fallback when 0 found
+      (table_extractor.go:49-73)
+  T2  h/v classification with snapTolerance=3 (:127-148)
+  T3  rect → 4 border edges (:94-108)
+  T4  group lines into regions: sort by position, split on gap > 30 (:187-228)
+  T5  intersection lattice: unique round(pos/3)*3 positions; >=2x2 (:231-299)
+      — note cells are ordered by ASCENDING y (PDF coords: row 0 is the
+      BOTTOM row); replicated faithfully
+  T6  cell fill: chars whose center lies in the cell; sort (y asc within
+      tol, then x); '\n' on y jump > tol, ' ' on x gap > tol (:302-367)
+  T7  row-rectangle path when len(rects) > minTableSize (:510-586)
+  T12 text-based fallback: word lines → aligned columns (>= max(2, 30% of
+      lines)) → nearest column within 3*snapTol (:370-394, 731-886)
+
+Defaults: snap=3.0, join=3.0, minTableSize=3, textTolerance=3.0 (:22-46).
+"""
+
+from __future__ import annotations
+
+from .. import spec
+from . import layout
+
+SNAP_TOL = 3.0
+TEXT_TOL = 3.0
+GROUP_GAP = 30.0
+MIN_TABLE_SIZE = 3
+
+_TEXT, _FONT, _SIZE, _X0, _Y0, _X1, _Y1, _W, _H = range(9)
+
+
+def classify_lines(edges: list[tuple]) -> tuple[list, list]:
+    """T2: (h_lines, v_lines) by |Δ| < snap tolerance."""
+    h, v = [], []
+    for e in edges:
+        x0, y0, x1, y1 = e[0], e[1], e[2], e[3]
+        if abs(y1 - y0) < SNAP_TOL:
+            h.append(e)
+        elif abs(x1 - x0) < SNAP_TOL:
+            v.append(e)
+    return h, v
+
+
+def rects_to_edges(rects: list[tuple]) -> tuple[list, list]:
+    """T3: each rect contributes top/bottom h edges and left/right v edges."""
+    h, v = [], []
+    for r in rects:
+        x0, y0, x1, y1 = r[0], r[1], r[2], r[3]
+        w = r[4] if len(r) > 4 else 1.0
+        h.append((x0, y0, x1, y0, w))
+        h.append((x0, y1, x1, y1, w))
+        v.append((x0, y0, x0, y1, w))
+        v.append((x1, y0, x1, y1, w))
+    return h, v
+
+
+def group_lines(lines: list, horizontal: bool) -> list[list]:
+    """T4: sort by axis position; split where consecutive gap > 30."""
+    if not lines:
+        return []
+    key = (lambda e: e[1]) if horizontal else (lambda e: e[0])
+    lines = sorted(lines, key=key)
+    groups: list[list] = []
+    cur = [lines[0]]
+    for prev, ln in zip(lines, lines[1:]):
+        if abs(key(ln) - key(prev)) > GROUP_GAP:
+            groups.append(cur)
+            cur = [ln]
+        else:
+            cur.append(ln)
+    groups.append(cur)
+    return groups
+
+
+def unique_positions(lines: list, horizontal: bool) -> list[float]:
+    """T5: snapped unique positions (round(pos/snap)*snap)."""
+    pos = set()
+    for e in lines:
+        p = e[1] if horizontal else e[0]
+        pos.add(round(p / SNAP_TOL) * SNAP_TOL)
+    return sorted(pos)
+
+
+def cell_text(cell: tuple[float, float, float, float], chars: list) -> str:
+    """T6: chars whose center lies within the cell, reading order within."""
+    cx0, cy0, cx1, cy1 = cell
+    members = [
+        ch
+        for ch in chars
+        if cx0 <= (ch[_X0] + ch[_X1]) / 2 <= cx1
+        and cy0 <= (ch[_Y0] + ch[_Y1]) / 2 <= cy1
+    ]
+    members.sort(key=lambda c: (c[_Y0], c[_X0]))
+    # faithful tolerance-relative compare degraded to strict (deterministic)
+    out: list[str] = []
+    last_y, last_x = -1000.0, -1000.0
+    for ch in members:
+        if last_y > 0 and abs(ch[_Y0] - last_y) > TEXT_TOL:
+            out.append("\n")
+            last_x = -1000.0
+        elif last_x > 0 and ch[_X0] - last_x > TEXT_TOL:
+            out.append(" ")
+        out.append(ch[_TEXT])
+        last_y, last_x = ch[_Y0], ch[_X1]
+    return "".join(out)
+
+
+def extract_tables(chars: list, edges: list, rects: list) -> list[dict]:
+    """T1 dispatch. Returns [{'rows': [[str]], 'bbox': (x0,y0,x1,y1)}]."""
+    tables = _line_based(chars, edges, rects)
+    if not tables:
+        tables = _text_based(chars)
+    return tables
+
+
+def _line_based(chars: list, edges: list, rects: list) -> list[dict]:
+    h, v = classify_lines(edges)
+    rh, rv = rects_to_edges(rects)
+    h, v = h + rh, v + rv
+    tables = []
+    for hg in group_lines(h, horizontal=True):
+        for vg in group_lines(v, horizontal=False):
+            if len(hg) < 2 or len(vg) < 2:
+                continue
+            hpos = unique_positions(hg, horizontal=True)
+            vpos = unique_positions(vg, horizontal=False)
+            if len(hpos) < 2 or len(vpos) < 2:
+                continue
+            rows = []
+            for i in range(len(hpos) - 1):
+                row = []
+                for j in range(len(vpos) - 1):
+                    row.append(
+                        cell_text((vpos[j], hpos[i], vpos[j + 1], hpos[i + 1]), chars)
+                    )
+                rows.append(row)
+            tables.append(
+                {
+                    "rows": rows,
+                    "bbox": (vpos[0], hpos[0], vpos[-1], hpos[-1]),
+                }
+            )
+    return tables
+
+
+def _text_based(chars: list) -> list[dict]:
+    """T12: word lines → column histogram → nearest-column assignment."""
+    words = layout.extract_words(chars)
+    if not words:
+        return []
+    # group words into lines by y (same sweep as chars)
+    words.sort(key=lambda w: (-w["y0"], w["x0"]))
+    lines: list[list[dict]] = []
+    cur: list[dict] = []
+    anchor = words[0]["y0"]
+    for wd in words:
+        if abs(wd["y0"] - anchor) > TEXT_TOL:
+            if cur:
+                lines.append(cur)
+            cur = [wd]
+            anchor = wd["y0"]
+        else:
+            cur.append(wd)
+    if cur:
+        lines.append(cur)
+    if len(lines) < MIN_TABLE_SIZE:
+        return []
+    # column positions: snapped word x0 appearing in >= max(2, 30% of lines)
+    from collections import Counter
+
+    counts = Counter()
+    for ln in lines:
+        seen = {round(wd["x0"] / SNAP_TOL) * SNAP_TOL for wd in ln}
+        counts.update(seen)
+    need = max(2, int(0.3 * len(lines)))
+    cols = sorted(p for p, c in counts.items() if c >= need)
+    if len(cols) < 2:
+        return []
+    rows = []
+    for ln in lines:
+        row = [""] * len(cols)
+        for wd in sorted(ln, key=lambda w: w["x0"]):
+            # nearest column within 3*snap
+            best, bestd = None, 3 * SNAP_TOL + 1
+            for ci, cx in enumerate(cols):
+                d = abs(wd["x0"] - cx)
+                if d < bestd:
+                    best, bestd = ci, d
+            if best is None:
+                continue
+            row[best] = (row[best] + " " + wd["text"]).strip()
+        rows.append(row)
+    if len(rows) < MIN_TABLE_SIZE:
+        return []
+    x0 = min(w["x0"] for w in words)
+    y0 = min(w["y0"] for w in words)
+    x1 = max(w["x1"] for w in words)
+    y1 = max(w["y1"] for w in words)
+    return [{"rows": rows, "bbox": (x0, y0, x1, y1)}]

@@ -55,6 +55,17 @@ CHAR_ROWS_SCHEMA = T.StructType(
     ]
 )
 
+TABLE_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("table_no", T.IntegerType()),
+        T.StructField("row_no", T.IntegerType()),
+        T.StructField("col_no", T.IntegerType()),
+        T.StructField("cell_text", T.StringType()),
+    ]
+)
+
 #: payloads above this byte size get their own salt buckets (mega-docs)
 MEGA_BYTES = 64 * 1024
 N_SALT = 8
@@ -137,6 +148,41 @@ def extract_chars(pages: DataFrame, parallelism: int = 32) -> DataFrame:
     """pages table → flat chars relation (SURVEY §1.1: the central relation)."""
     return _salted(pages, parallelism).mapInPandas(
         _char_batches, schema=CHAR_ROWS_SCHEMA
+    )
+
+
+def _table_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .kernel.extract import parse_pdf_objects
+    from .kernel.tables import extract_tables as kernel_tables
+
+    cols = [f.name for f in TABLE_ROWS_SCHEMA.fields]
+    for pdf in it:
+        out: dict[str, list] = {c: [] for c in cols}
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            raw = bytes(raw)
+            if raw[:5] != b"%PDF-":
+                continue
+            try:
+                for page_no, _mb, interp in parse_pdf_objects(raw):
+                    tabs = kernel_tables(interp.chars, interp.edges, interp.rects)
+                    for tno, tab in enumerate(tabs):
+                        for rno, row in enumerate(tab["rows"]):
+                            for cno, cell in enumerate(row):
+                                out["url"].append(url)
+                                out["page_no"].append(page_no)
+                                out["table_no"].append(tno)
+                                out["row_no"].append(rno)
+                                out["col_no"].append(cno)
+                                out["cell_text"].append(cell)
+            except Exception:
+                continue  # malformed: no table rows
+        yield pd.DataFrame(out)
+
+
+def extract_tables_df(pages: DataFrame, parallelism: int = 32) -> DataFrame:
+    """pages table → flattened table cells (SURVEY §2.7)."""
+    return _salted(pages, parallelism).mapInPandas(
+        _table_batches, schema=TABLE_ROWS_SCHEMA
     )
 
 

@@ -74,6 +74,34 @@ def build_pages(spark: SparkSession, sf_dir: str, parallelism: int = 32) -> Data
     return docs.mapInPandas(_gen_batches, schema=PAGES_SCHEMA)
 
 
+def build_graphics_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ruled-table PDFs (variant pdf_graphics) for doc_id % 10 == 6 docs —
+    the table-extraction test corpus (mirrors the reference's
+    table_example.pdf fixture role)."""
+    from ..kernel.pdfwrite import build_pdf
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                data, _golden = build_pdf(doc_id, text, "pdf_graphics")
+                urls.append(spec.url_of(doc_id))
+                payloads.append(data)
+            yield pd.DataFrame({"url": urls, "html": payloads})
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where("doc_id % 10 = 6")
+        .select("doc_id", "text")
+        .repartition(8, F.col("doc_id"))
+    )
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("html", T.BinaryType())]
+    )
+    return docs.mapInPandas(gen, schema=schema)
+
+
 def pages_cache_path(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join("/root/repo/.pages_cache", tag)
