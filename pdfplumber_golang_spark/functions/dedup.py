@@ -244,7 +244,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(c)
     # df-filter: drop shingles appearing in > 50 docs (stopword shingles)
     df_ok = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") <= 50)
-    sh = sh.join(df_ok.select("shingle"), "shingle")
+    # sh feeds three consumers (sizes + both join sides); Catalyst has no
+    # cross-join CSE, so persist avoids recomputing the explode+distinct.
+    # At cluster scale this would be a parquet checkpoint instead.
+    sh = sh.join(df_ok.select("shingle"), "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

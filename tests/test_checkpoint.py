@@ -1,0 +1,68 @@
+"""Checkpoint/lineage/resume tests (north_rule resumability requirement)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfplumber_golang_spark.plans import checkpoint
+from pdfplumber_golang_spark.sources.pagesgen import load_or_build_pages
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def out_dir():
+    d = tempfile.mkdtemp(prefix="ckpt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_full_run_then_resume_noop(spark, out_dir):
+    pages = load_or_build_pages(spark, SF_DIR).limit(200).cache()
+    stats1 = checkpoint.run_checkpointed(
+        spark, pages, out_dir, n_buckets=8, group_size=4, parallelism=8
+    )
+    assert stats1["buckets_run"] == 8
+    out = checkpoint.read_output(spark, out_dir)
+    n_urls = out.select("url").distinct().count()
+    assert n_urls == 200
+    # resume on completed output runs nothing
+    stats2 = checkpoint.run_checkpointed(
+        spark, pages, out_dir, n_buckets=8, group_size=4, parallelism=8
+    )
+    assert stats2["buckets_run"] == 0
+    assert stats2["buckets_done_before"] == 8
+
+
+def test_partial_resume_completes(spark, out_dir):
+    pages = load_or_build_pages(spark, SF_DIR).limit(100).cache()
+    # simulate a crash: stop after the first bucket group
+    checkpoint.run_checkpointed(
+        spark, pages, out_dir, n_buckets=4, group_size=2, parallelism=8,
+        max_groups=1,
+    )
+    done = checkpoint.completed_buckets(spark, out_dir)
+    assert len(done) == 2 and done.issubset({0, 1, 2, 3})
+    # full resume over the whole input completes the remaining buckets
+    checkpoint.run_checkpointed(
+        spark, pages, out_dir, n_buckets=4, group_size=2, parallelism=8
+    )
+    out = checkpoint.read_output(spark, out_dir)
+    assert out.select("url").distinct().count() == 100
+
+
+def test_lineage_metrics(spark, out_dir):
+    pages = load_or_build_pages(spark, SF_DIR).limit(150).cache()
+    checkpoint.run_checkpointed(
+        spark, pages, out_dir, n_buckets=4, group_size=2, parallelism=8
+    )
+    lin = checkpoint.lineage_table(spark, out_dir).toPandas()
+    assert set(lin["bucket"]) == {0, 1, 2, 3}
+    assert (lin["n_docs"] > 0).all()
+    assert lin["n_docs"].sum() == 150
+    assert (lin["kernel_sha"].str.len() > 0).all()
+    assert (lin["wall_s"] > 0).all()
+    # char/word metrics present for non-error rows
+    assert lin["n_chars"].sum() > 0
