@@ -156,6 +156,54 @@ def _q_column_histogram(spark, sf_dir):
     )
 
 
+#: crop window for the G1/G2 bbox-filter query
+CROP = (100.0, 500.0, 300.0, 720.0)
+
+
+def _q_crop_filter(spark, sf_dir):
+    """G1/G2: bbox-intersection filter (Intersects predicate,
+    /root/reference/pkg/pdf/types.go:43-45) over the chars relation."""
+    chars = synth_rel.chars_rel(spark, sf_dir)
+    cx0, cy0, cx1, cy1 = CROP
+    kept = chars.where(
+        (F.col("x0") <= cx1) & (F.col("x1") >= cx0)
+        & (F.col("y0") <= cy1) & (F.col("y1") >= cy0)
+    )
+    return kept.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_in_crop"),
+        F.round(F.min("x0"), 3).alias("min_x0"),
+        F.round(F.max("x1"), 3).alias("max_x1"),
+    )
+
+
+def _q_y_inversion(spark, sf_dir):
+    """Y9: pdfplumber top-left coordinate projection
+    (top = page_height - y1; document_ledongthuc.go:185-196)."""
+    chars = synth_rel.chars_rel(spark, sf_dir)
+    top = F.lit(spec.PAGE_H) - F.col("y1")
+    return chars.groupBy("url").agg(
+        F.round(F.min(top), 3).alias("min_top"),
+        F.round(F.max(top), 3).alias("max_top"),
+    )
+
+
+def _q_pdf_words(spark, sf_dir):
+    """Kernel chars → DataFrame word aggregation over REAL parsed PDFs:
+    per-url word count and word-char count."""
+    pages = load_or_build_pages(spark, sf_dir).where(
+        F.col("variant").startswith("pdf_")
+    )
+    chars = pipeline.extract_chars(pages)
+    return (
+        layout_ops.words(chars)
+        .groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
 def _q_extract_tables(spark, sf_dir):
     """T1-T6: ruling-line lattice table extraction, flattened to cells."""
     pages = build_graphics_pages(spark, sf_dir)
@@ -195,6 +243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann.ann_lsh,
         "media_features": multimodal.media_features_q,
         "extract_tables_lattice": _q_extract_tables,
+        "crop_filter": _q_crop_filter,
+        "y_inversion": _q_y_inversion,
+        "pdf_words": _q_pdf_words,
     }
 
 
@@ -300,5 +351,33 @@ SELECT {spec.SQL_URL} AS url, CAST(0 AS BIGINT) AS table_no,
 FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS i FROM documents
       WHERE doc_id % 10 = 6),
      (SELECT unnest(generate_series(0, 2)) AS j)
+""",
+        "crop_filter": f"""
+WITH {synth_rel.CHARS_REL_DUCKDB.strip()}
+SELECT url, CAST(COUNT(*) AS BIGINT) AS n_in_crop,
+       ROUND(MIN(x0), 3) AS min_x0, ROUND(MAX(x1), 3) AS max_x1
+FROM chars_rel
+WHERE x0 <= {CROP[2]} AND x1 >= {CROP[0]} AND y0 <= {CROP[3]} AND y1 >= {CROP[1]}
+GROUP BY url
+""",
+        "y_inversion": f"""
+WITH {synth_rel.CHARS_REL_DUCKDB.strip()}
+SELECT url, ROUND(MIN({spec.PAGE_H} - y1), 3) AS min_top,
+       ROUND(MAX({spec.PAGE_H} - y1), 3) AS max_top
+FROM chars_rel GROUP BY url
+""",
+        # real-PDF words: every wrapped {w}-char line contributes its
+        # space-delimited non-empty tokens
+        "pdf_words": f"""
+WITH lines AS (
+  SELECT doc_id, substr(text, CAST(i * {w} + 1 AS INT), {w}) AS line
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(0, (length(text) - 1) // {w})) AS i
+        FROM documents WHERE {spec.SQL_IS_PDF})
+)
+SELECT {spec.SQL_URL} AS url,
+       CAST(SUM(len(list_filter(string_split(line, ' '), x -> x <> ''))) AS BIGINT) AS n_words,
+       CAST(SUM(length(replace(line, ' ', ''))) AS BIGINT) AS n_chars
+FROM lines GROUP BY doc_id
 """,
     }

@@ -110,10 +110,83 @@ def cell_text(cell: tuple[float, float, float, float], chars: list) -> str:
 
 def extract_tables(chars: list, edges: list, rects: list) -> list[dict]:
     """T1 dispatch. Returns [{'rows': [[str]], 'bbox': (x0,y0,x1,y1)}]."""
+    # T7: row-rectangle path first when enough rects exist
+    # (extractLineBasedTables, table_extractor.go:76-88)
+    if len(rects) > MIN_TABLE_SIZE:
+        t = _row_rectangle_table(chars, rects)
+        if t is not None and len(t["rows"]) >= MIN_TABLE_SIZE:
+            return [t]
     tables = _line_based(chars, edges, rects)
     if not tables:
         tables = _text_based(chars)
     return tables
+
+
+def _row_rectangle_table(chars: list, rects: list) -> dict | None:
+    """T7: aligned stacked rects (same x0/x1 within snap) form table rows;
+    each rect's chars are distributed over text-derived columns
+    (extractTableFromRowRectangles, table_extractor.go:510-586; column
+    inference T8/T9, row fill T10, empty-column pruning T11)."""
+    from collections import Counter
+
+    groups: dict[tuple[float, float], list] = {}
+    for r in rects:
+        key = (round(r[0] / SNAP_TOL) * SNAP_TOL, round(r[2] / SNAP_TOL) * SNAP_TOL)
+        groups.setdefault(key, []).append(r)
+    aligned = max(groups.values(), key=len)
+    if len(aligned) < MIN_TABLE_SIZE:
+        return None
+    aligned.sort(key=lambda r: -r[3])  # Y1 descending (top row first)
+    # T8: column x-positions from snapped WORD-start x0 histogram (count >=
+    # 3). Canonical deviation from the reference's char-level histogram
+    # (findTextColumns, table_extractor.go:589-613), which degenerates to
+    # one column per character for grid-aligned text; word starts are what
+    # its own text-based path T12 uses (findAlignedColumnsFromWords).
+    words = layout.extract_words(chars)
+    counts = Counter(round(w["x0"] / SNAP_TOL) * SNAP_TOL for w in words)
+    cols = sorted(p for p, n in counts.items() if n >= 3)
+    if len(cols) < 2:
+        return None
+    rows = []
+    for r in aligned:
+        y0, y1 = r[1], r[3]
+        members = [c for c in chars if y0 <= (c[_Y0] + c[_Y1]) / 2 <= y1]
+        row = [""] * len(cols)
+        for ch in sorted(members, key=lambda c: c[_X0]):
+            ci = _find_column(ch[_X0], cols)
+            if ci is not None:
+                row[ci] += ch[_TEXT]
+        rows.append([cell.strip() for cell in row])
+    rows, cols_kept = _prune_empty_columns(rows)
+    if not rows or len(rows) < MIN_TABLE_SIZE:
+        return None
+    x0 = min(r[0] for r in aligned)
+    y0 = min(r[1] for r in aligned)
+    x1 = max(r[2] for r in aligned)
+    y1 = max(r[3] for r in aligned)
+    return {"rows": rows, "bbox": (x0, y0, x1, y1)}
+
+
+def _find_column(x: float, cols: list[float]) -> int | None:
+    """T9: first column whose [col, next_col) brackets x
+    (findColumnIndex, table_extractor.go:642-658)."""
+    for i, c in enumerate(cols):
+        hi = cols[i + 1] if i + 1 < len(cols) else float("inf")
+        if c - SNAP_TOL <= x < hi:
+            return i
+    return None
+
+
+def _prune_empty_columns(rows: list[list[str]]) -> tuple[list[list[str]], list[int]]:
+    """T11: drop columns with no non-blank cell across all rows
+    (removeEmptyColumns, table_extractor.go:661-691)."""
+    if not rows:
+        return rows, []
+    ncols = len(rows[0])
+    keep = [
+        j for j in range(ncols) if any(r[j].strip() for r in rows)
+    ]
+    return [[r[j] for j in keep] for r in rows], keep
 
 
 def _line_based(chars: list, edges: list, rects: list) -> list[dict]:

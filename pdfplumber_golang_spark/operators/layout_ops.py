@@ -38,11 +38,19 @@ def with_line_ids(chars: DataFrame, y_tol: float = spec.Y_TOLERANCE) -> DataFram
 
 def with_word_ids(chars: DataFrame, x_tol: float = spec.X_TOLERANCE) -> DataFrame:
     """Y4: within a line, new word when gap > x_tol OR gap > 0.3*width
-    (text_organizer.go:171-180). Requires line_id."""
+    (text_organizer.go:171-180), or after an explicit space char (the
+    kernel's extract_words flushes the current word on ' ',
+    kernel/layout.py) — real PDF chars advance by exactly their width, so
+    spaces carry zero gap and must delimit by identity. Requires line_id."""
     w = Window.partitionBy("url", "page_no", "line_id").orderBy("x0", "char_idx")
     gap = F.col("x0") - F.lag("x1").over(w)
+    prev_is_space = F.lag("text").over(w) == " "
     new_word = F.when(
-        gap.isNull() | (gap > x_tol) | (gap > F.col("width") * 0.3), 1
+        gap.isNull()
+        | (gap > x_tol)
+        | (gap > F.col("width") * 0.3)
+        | prev_is_space,
+        1,
     ).otherwise(0)
     return chars.withColumn(
         "word_id",
@@ -225,6 +233,42 @@ def consolidate_edges(
         F.max("width").alias("width"),
         F.count("*").cast("long").alias("n_segments"),
     )
+
+
+def filter_page_border_lines(
+    edges: DataFrame, page_w: float, page_h: float, margin: float = 1.0
+) -> DataFrame:
+    """G6: drop lines hugging the page border (< margin from any edge,
+    FilterPageBorderLines, /root/reference/pkg/pdf/utils.go:63-80)."""
+    near = (
+        (F.least("x0", "x1") < margin)
+        | (F.greatest("x0", "x1") > page_w - margin)
+    ) & (F.abs(F.col("x1") - F.col("x0")) < margin)
+    near_h = (
+        (F.least("y0", "y1") < margin)
+        | (F.greatest("y0", "y1") > page_h - margin)
+    ) & (F.abs(F.col("y1") - F.col("y0")) < margin)
+    return edges.where(~(near | near_h))
+
+
+def filter_table_candidate_lines(
+    edges: DataFrame,
+    x_min: float = 20.0,
+    x_max: float = 575.0,
+    y_min: float = 20.0,
+) -> DataFrame:
+    """G7: keep axis-aligned lines inside the content margins
+    (FilterTableLines, utils.go:83-106 — note the A4-specific constants,
+    kept as defaults for parity)."""
+    axis = (F.abs(F.col("y1") - F.col("y0")) < 3.0) | (
+        F.abs(F.col("x1") - F.col("x0")) < 3.0
+    )
+    inside = (
+        (F.least("x0", "x1") >= x_min)
+        & (F.greatest("x0", "x1") <= x_max)
+        & (F.least("y0", "y1") >= y_min)
+    )
+    return edges.where(axis & inside)
 
 
 def column_histogram(

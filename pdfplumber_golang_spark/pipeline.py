@@ -126,27 +126,40 @@ def _char_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def _salted(pages: DataFrame, parallelism: int) -> DataFrame:
-    """Prune to (url, html) and spread docs by url-hash with mega-doc salt."""
-    salt = F.when(
+def _salted(pages: DataFrame, parallelism: int, salt: bool) -> DataFrame:
+    """Prune to (url, html); optionally spread docs by url-hash + mega salt.
+
+    Shuffling raw payload bytes is expensive (measured: the repartition of
+    a ~6GB payload column made the extract stage I/O-bound and killed
+    scaling, 0.32 efficiency at 8→32 cores). Default is scan-aligned
+    extraction — the parquet/Iceberg reader already splits input by
+    ``spark.sql.files.maxPartitionBytes``, so partitions are balanced
+    without moving bytes. Use salt=True only when the SOURCE layout is
+    skewed (few giant files / hot key ranges); then the explicit url-hash +
+    mega-doc salt repartition is the remedy the north_rule names."""
+    pruned = pages.select("url", "html")
+    if not salt:
+        return pruned
+    salt_col = F.when(
         F.length("html") > MEGA_BYTES, F.pmod(F.xxhash64("url", F.lit(1)), F.lit(N_SALT))
     ).otherwise(F.lit(0))
-    return (
-        pages.select("url", "html")
-        .repartition(parallelism, F.xxhash64("url"), salt)
-    )
+    return pruned.repartition(parallelism, F.xxhash64("url"), salt_col)
 
 
-def extract_pages(pages: DataFrame, parallelism: int = 32) -> DataFrame:
+def extract_pages(
+    pages: DataFrame, parallelism: int = 32, salt: bool = False
+) -> DataFrame:
     """pages table → per-page extraction rows (the core stage)."""
-    return _salted(pages, parallelism).mapInPandas(
+    return _salted(pages, parallelism, salt).mapInPandas(
         _extract_batches, schema=PAGE_ROWS_SCHEMA
     )
 
 
-def extract_chars(pages: DataFrame, parallelism: int = 32) -> DataFrame:
+def extract_chars(
+    pages: DataFrame, parallelism: int = 32, salt: bool = False
+) -> DataFrame:
     """pages table → flat chars relation (SURVEY §1.1: the central relation)."""
-    return _salted(pages, parallelism).mapInPandas(
+    return _salted(pages, parallelism, salt).mapInPandas(
         _char_batches, schema=CHAR_ROWS_SCHEMA
     )
 
@@ -179,9 +192,11 @@ def _table_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def extract_tables_df(pages: DataFrame, parallelism: int = 32) -> DataFrame:
+def extract_tables_df(
+    pages: DataFrame, parallelism: int = 32, salt: bool = False
+) -> DataFrame:
     """pages table → flattened table cells (SURVEY §2.7)."""
-    return _salted(pages, parallelism).mapInPandas(
+    return _salted(pages, parallelism, salt).mapInPandas(
         _table_batches, schema=TABLE_ROWS_SCHEMA
     )
 

@@ -1,0 +1,89 @@
+"""Unit tests for DataFrame-level geometric operators (G6/G7) and the T7
+row-rectangle kernel path."""
+
+from pdfplumber_golang_spark.kernel.tables import extract_tables
+from pdfplumber_golang_spark.operators.layout_ops import (
+    filter_page_border_lines,
+    filter_table_candidate_lines,
+)
+
+
+def _edges_df(spark, rows):
+    return spark.createDataFrame(
+        rows, ["url", "page_no", "x0", "y0", "x1", "y1", "width"]
+    )
+
+
+def test_page_border_filter(spark):
+    df = _edges_df(
+        spark,
+        [
+            ("u", 1, 0.5, 10.0, 0.5, 700.0, 1.0),     # left border vertical
+            ("u", 1, 10.0, 791.5, 600.0, 791.5, 1.0), # top border horizontal
+            ("u", 1, 72.0, 400.0, 300.0, 400.0, 1.0), # interior line
+        ],
+    )
+    out = filter_page_border_lines(df, page_w=612.0, page_h=792.0).collect()
+    assert len(out) == 1 and out[0].x0 == 72.0
+
+
+def test_table_candidate_filter(spark):
+    df = _edges_df(
+        spark,
+        [
+            ("u", 1, 5.0, 100.0, 5.0, 300.0, 1.0),     # x < 20: out
+            ("u", 1, 72.0, 10.0, 300.0, 10.0, 1.0),    # y < 20: out
+            ("u", 1, 72.0, 100.0, 300.0, 100.0, 1.0),  # in
+            ("u", 1, 72.0, 100.0, 300.0, 320.0, 1.0),  # diagonal: out
+        ],
+    )
+    out = filter_table_candidate_lines(df).collect()
+    assert len(out) == 1 and out[0].y0 == 100.0
+
+
+def test_row_rectangle_table_path():
+    # 4 full-width stacked row rects + 2-column char layout -> T7 path
+    chars = []
+    rects = []
+    for row in range(4):
+        y1 = 700.0 - row * 20.0
+        y0 = y1 - 20.0
+        rects.append((72.0, y0, 400.0, y1, 1.0, True, False))
+        for col, cx in enumerate((80.0, 240.0)):
+            word = f"r{row}c{col}"
+            for k, ch in enumerate(word):
+                x = cx + 6.0 * k
+                y = y0 + 4.0
+                chars.append((ch, "F1", 12.0, x, y, x + 6.0, y + 12.0, 6.0, 12.0))
+    # an extra decoy rect with different alignment
+    rects.append((10.0, 100.0, 50.0, 120.0, 1.0, True, False))
+    tabs = extract_tables(chars, [], rects)
+    assert len(tabs) == 1
+    rows = tabs[0]["rows"]
+    assert len(rows) == 4 and all(len(r) == 2 for r in rows)
+    assert rows[0] == ["r0c0", "r0c1"]  # Y1 desc: top row first
+    assert rows[3] == ["r3c0", "r3c1"]
+
+
+def test_empty_column_pruning_in_row_rect_path():
+    # chars cluster at 3 histogram columns but the middle one is all blanks
+    chars = []
+    rects = []
+    for row in range(3):
+        y1 = 700.0 - row * 20.0
+        y0 = y1 - 20.0
+        rects.append((72.0, y0, 400.0, y1, 1.0, True, False))
+        for cx, word in ((80.0, f"a{row}"), (300.0, f"b{row}")):
+            for k, ch in enumerate(word):
+                x = cx + 6.0 * k
+                chars.append((ch, "F1", 12.0, x, y0 + 4, x + 6.0, y0 + 16, 6.0, 12.0))
+    # histogram decoy column at x=180 from chars OUTSIDE all rects
+    for k in range(3):
+        chars.append(("z", "F1", 12.0, 180.0, 50.0 - k, 186.0, 62.0 - k, 6.0, 12.0))
+    rects.append((10.0, 900.0, 20.0, 910.0, 1.0, True, False))  # len(rects)>3
+    tabs = extract_tables(chars, [], rects)
+    assert len(tabs) == 1
+    rows = tabs[0]["rows"]
+    # decoy column pruned: only 2 columns survive
+    assert all(len(r) == 2 for r in rows)
+    assert rows[0] == ["a0", "b0"]

@@ -57,7 +57,8 @@ def test_mega_doc_salting_routes(pages, spark):
     mega = pages.where(f"doc_id % {spec.MEGA_MOD} = {spec.MEGA_REM}")
     n_mega = mega.count()
     assert n_mega >= 1
-    out = pipeline.doc_text(pipeline.extract_pages(mega)).collect()
+    # salt=True exercises the explicit skew path (url-hash + mega salt)
+    out = pipeline.doc_text(pipeline.extract_pages(mega, salt=True)).collect()
     assert len(out) == n_mega
     want = {r.url: r.text for r in mega.collect()}
     for r in out:
