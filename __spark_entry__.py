@@ -204,6 +204,43 @@ def _q_pdf_words(spark, sf_dir):
     )
 
 
+def _q_pdf_metadata(spark, sf_dir):
+    """Trailer /Info metadata per PDF url (reference defines the Metadata
+    struct but never fills it — we implement the read)."""
+    pages = load_or_build_pages(spark, sf_dir).where(
+        F.col("variant").startswith("pdf_")
+    )
+    return pipeline.extract_metadata_df(pages)
+
+
+def _q_pdf_line_texts(spark, sf_dir):
+    """Y3+Y6 over REAL parsed PDF chars: per-line reassembled text must be
+    byte-identical to the wrapped source lines."""
+    pages = load_or_build_pages(spark, sf_dir).where(
+        F.col("variant").startswith("pdf_")
+    )
+    chars = pipeline.extract_chars(pages)
+    lines = layout_ops.lines(chars)
+    # line_id restarts per page; global line number = (page_no-1)*per_page
+    # + line_id (multipage variant has its own lines/page)
+    return lines.select(
+        "url",
+        ((F.col("page_no") - 1) * _lines_per_page_col() + F.col("line_id"))
+        .cast("long")
+        .alias("line_no"),
+        "line_text",
+    )
+
+
+def _lines_per_page_col():
+    """Lines per page differ for the multipage variant (doc_id % 10 == 9);
+    recover doc_id from the url suffix."""
+    doc_id = F.regexp_extract("url", r"doc(\d+)$", 1).cast("long")
+    return F.when(doc_id % 10 == 9, F.lit(spec.PDF_MULTIPAGE_LINES)).otherwise(
+        F.lit(spec.PDF_LINES_PER_PAGE)
+    )
+
+
 def _q_extract_tables(spark, sf_dir):
     """T1-T6: ruling-line lattice table extraction, flattened to cells."""
     pages = build_graphics_pages(spark, sf_dir)
@@ -246,6 +283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_filter": _q_crop_filter,
         "y_inversion": _q_y_inversion,
         "pdf_words": _q_pdf_words,
+        "pdf_metadata": _q_pdf_metadata,
+        "pdf_line_texts": _q_pdf_line_texts,
     }
 
 
@@ -379,5 +418,19 @@ SELECT {spec.SQL_URL} AS url,
        CAST(SUM(len(list_filter(string_split(line, ' '), x -> x <> ''))) AS BIGINT) AS n_words,
        CAST(SUM(length(replace(line, ' ', ''))) AS BIGINT) AS n_chars
 FROM lines GROUP BY doc_id
+""",
+        "pdf_metadata": f"""
+SELECT {spec.SQL_URL} AS url,
+       'doc ' || CAST(doc_id AS STRING) AS title,
+       'host' || CAST(doc_id % 97 AS STRING) || '.example' AS author,
+       'pdfplumber-golang-spark' AS producer
+FROM documents WHERE {spec.SQL_IS_PDF}
+""",
+        "pdf_line_texts": f"""
+SELECT {spec.SQL_URL} AS url, CAST(i + 1 AS BIGINT) AS line_no,
+       substr(text, CAST(i * {w} + 1 AS INT), {w}) AS line_text
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0, (length(text) - 1) // {w})) AS i
+      FROM documents WHERE {spec.SQL_IS_PDF})
 """,
     }

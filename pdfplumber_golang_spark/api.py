@@ -1,0 +1,128 @@
+"""Single-document facade mirroring the reference's user API.
+
+A user of pyhub-apps/pdfplumber-golang works with
+``Open(path) → Document → Page → ExtractText/ExtractTables/ExtractWords/
+Crop/WithinBBox/Filter/GetObjects`` (/root/reference/pkg/pdf/interfaces.go).
+This module provides the same surface over the canonical kernel for
+single-document (driver-side / debugging) use; the DataFrame pipeline in
+``pipeline.py`` is the scale path with identical semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from . import spec
+from .kernel import layout, tables
+from .kernel.extract import parse_pdf_objects
+from .kernel.html_extract import extract_html_text
+from .kernel.pdfparse import PDFDocument
+
+
+class Page:
+    """Mirrors the reference Page interface (interfaces.go:26-65)."""
+
+    def __init__(self, number: int, mediabox, chars, edges, rects, curves):
+        self.number = number
+        self.mediabox = mediabox
+        self.chars = chars
+        self.edges = edges
+        self.rects = rects
+        self.curves = curves
+
+    # -- dims ------------------------------------------------------------
+    @property
+    def width(self) -> float:
+        return self.mediabox[2] - self.mediabox[0]
+
+    @property
+    def height(self) -> float:
+        return self.mediabox[3] - self.mediabox[1]
+
+    # -- extraction ------------------------------------------------------
+    def extract_text(self, x_tolerance=spec.X_TOLERANCE, y_tolerance=spec.Y_TOLERANCE) -> str:
+        return layout.organize_text(self.chars, x_tolerance, y_tolerance)
+
+    def extract_words(self, x_tolerance=spec.X_TOLERANCE, y_tolerance=spec.Y_TOLERANCE) -> list[dict]:
+        return layout.extract_words(self.chars, x_tolerance, y_tolerance)
+
+    def extract_tables(self) -> list[dict]:
+        return tables.extract_tables(self.chars, self.edges, self.rects)
+
+    # -- geometric ops (G1-G3) --------------------------------------------
+    def crop(self, bbox: tuple[float, float, float, float]) -> "Page":
+        """G1/G2: new page with objects intersecting bbox
+        (page/page.go:147-160, Intersects predicate types.go:43-45)."""
+        x0, y0, x1, y1 = bbox
+
+        def hits(ox0, oy0, ox1, oy1):
+            return ox0 <= x1 and ox1 >= x0 and oy0 <= y1 and oy1 >= y0
+
+        return Page(
+            self.number,
+            bbox,
+            [c for c in self.chars if hits(c[3], c[4], c[5], c[6])],
+            [e for e in self.edges if hits(min(e[0], e[2]), min(e[1], e[3]),
+                                           max(e[0], e[2]), max(e[1], e[3]))],
+            [r for r in self.rects if hits(r[0], r[1], r[2], r[3])],
+            self.curves,
+        )
+
+    within_bbox = crop  # reference exposes both names (page.go:163)
+
+    def filter(self, predicate: Callable) -> "Page":
+        """G3: arbitrary predicate over char objects (interfaces.go:61)."""
+        return Page(
+            self.number,
+            self.mediabox,
+            [c for c in self.chars if predicate(c)],
+            self.edges,
+            self.rects,
+            self.curves,
+        )
+
+
+class Document:
+    """Mirrors the reference Document interface (interfaces.go:8-23)."""
+
+    def __init__(self, pages: list[Page], metadata: dict[str, str], kind: str):
+        self.pages = pages
+        self._metadata = metadata
+        self.kind = kind
+
+    def page_count(self) -> int:
+        return len(self.pages)
+
+    def get_page(self, n: int) -> Page:  # 1-based like the reference
+        return self.pages[n - 1]
+
+    def metadata(self) -> dict[str, str]:
+        return self._metadata
+
+    def extract_text(self) -> str:
+        return "\n".join(p.extract_text() for p in self.pages)
+
+
+def open_bytes(raw: bytes) -> Document:
+    """Router + parse (reference Open(), pdfplumber.go:36-51 — one
+    canonical kernel instead of the backend fallback chain)."""
+    if raw[:5] == b"%PDF-":
+        doc = PDFDocument(raw)
+        meta = doc.metadata()
+        pages = []
+        for page_no, mediabox, interp in parse_pdf_objects(raw, doc=doc):
+            pages.append(
+                Page(page_no, mediabox, interp.chars, interp.edges,
+                     interp.rects, interp.curves)
+            )
+        return Document(pages, meta, "pdf")
+    text = extract_html_text(raw)
+    # HTML docs present as a single synthetic page of text
+    page = Page(1, (0.0, 0.0, 0.0, 0.0), [], [], [], [])
+    page.extract_text = lambda **_: text  # type: ignore[method-assign]
+    return Document([page], {}, "html")
+
+
+def open_path(path: str) -> Document:
+    with open(path, "rb") as f:
+        return open_bytes(f.read())

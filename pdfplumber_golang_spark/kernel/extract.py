@@ -53,12 +53,13 @@ def load_fonts(doc: PDFDocument, resources: dict) -> dict[str, Font]:
     return fonts
 
 
-def parse_pdf_objects(data: bytes):
+def parse_pdf_objects(data: bytes, doc: PDFDocument | None = None):
     """Parse a PDF and interpret every page's content stream.
 
     Yields (page_no, mediabox, interp) with populated object vectors.
     """
-    doc = PDFDocument(data)
+    if doc is None:
+        doc = PDFDocument(data)
     for page in doc.pages:
         fonts = load_fonts(doc, page.resources if isinstance(page.resources, dict) else {})
         interp = Interpreter(fonts)

@@ -239,6 +239,27 @@ class PDFDocument:
             depth += 1
         return val
 
+    # -------------------------------------------------------- metadata ---
+    def metadata(self) -> dict[str, str]:
+        """Document /Info dict (Title/Author/Subject/Creator/Producer/
+        CreationDate…) decoded to text. The reference defines the Metadata
+        struct (/root/reference/pkg/pdf/types.go:48-58) but never populates
+        it (document.go:75-87); we implement the actual trailer /Info read."""
+        info = self.resolve(self.trailer.get("Info"))
+        out: dict[str, str] = {}
+        if not isinstance(info, dict):
+            return out
+        for k, v in info.items():
+            v = self.resolve(v)
+            if isinstance(v, bytes):
+                if v[:2] == b"\xfe\xff":
+                    out[str(k)] = v[2:].decode("utf-16-be", "replace")
+                else:
+                    out[str(k)] = v.decode("latin-1")
+            elif isinstance(v, (str, int, float, bool)):
+                out[str(k)] = str(v)
+        return out
+
     # --------------------------------------------------------- streams ---
     def stream_data(self, st: Stream) -> bytes:
         if st._decoded is not None:

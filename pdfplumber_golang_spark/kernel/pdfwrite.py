@@ -175,10 +175,23 @@ def _assemble(objects: dict[int, bytes]) -> bytes:
     out += b"0000000000 65535 f \n"
     for num in range(1, maxnum + 1):
         out += b"%010d 00000 n \n" % offsets.get(num, 0)
-    out += b"trailer\n<< /Size %d /Root 1 0 R >>\n" % (maxnum + 1)
+    trailer = b"<< /Size %d /Root 1 0 R" % (maxnum + 1)
+    if 9 in objects:  # obj 9 is reserved for /Info
+        trailer += b" /Info 9 0 R"
+    trailer += b" >>"
+    out += b"trailer\n" + trailer + b"\n"
     out += b"startxref\n%d\n" % xref_off
     out += b"%%EOF\n"
     return bytes(out)
+
+
+def _info_dict(doc_id: int) -> bytes:
+    h = doc_id % 97
+    return (
+        b"<< /Title (doc %d) /Author (host%d.example)"
+        b" /Producer (pdfplumber-golang-spark)"
+        b" /CreationDate (D:20240101000000Z) >>" % (doc_id, h)
+    )
 
 
 def _stream_obj(data: bytes, flate: bool, extra: bytes = b"") -> bytes:
@@ -208,6 +221,7 @@ def build_pdf(doc_id: int, text: str, variant: str) -> tuple[bytes, str]:
 
     objects: dict[int, bytes] = {}
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[9] = _info_dict(doc_id)  # document metadata (/Info in trailer)
 
     flate = variant == "pdf_flate"
     n_pages = len(pages_lines)

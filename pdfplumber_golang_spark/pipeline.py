@@ -201,6 +201,45 @@ def extract_tables_df(
     )
 
 
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("author", T.StringType()),
+        T.StructField("producer", T.StringType()),
+    ]
+)
+
+
+def _metadata_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .kernel.pdfparse import PDFDocument
+
+    for pdf in it:
+        out: dict[str, list] = {"url": [], "title": [], "author": [], "producer": []}
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            raw = bytes(raw)
+            if raw[:5] != b"%PDF-":
+                continue
+            try:
+                meta = PDFDocument(raw).metadata()
+            except Exception:
+                continue
+            out["url"].append(url)
+            out["title"].append(meta.get("Title"))
+            out["author"].append(meta.get("Author"))
+            out["producer"].append(meta.get("Producer"))
+        yield pd.DataFrame(out)
+
+
+def extract_metadata_df(
+    pages: DataFrame, parallelism: int = 32, salt: bool = False
+) -> DataFrame:
+    """pages table → PDF /Info metadata rows (Title/Author/Producer)."""
+    return _salted(pages, parallelism, salt).mapInPandas(
+        _metadata_batches, schema=METADATA_SCHEMA
+    )
+
+
 def doc_text(page_rows: DataFrame) -> DataFrame:
     """Per-doc extracted text: pages '\n'-joined in page order.
 

@@ -1,0 +1,55 @@
+"""Facade-API tests (the reference's Document/Page user surface)."""
+
+from pdfplumber_golang_spark import api, spec
+from pdfplumber_golang_spark.kernel.htmlwrite import build_html
+from pdfplumber_golang_spark.kernel.pdfwrite import build_pdf
+
+TEXT = "the quick brown fox jumps over the lazy dog " * 4
+
+
+def test_open_pdf_document():
+    data, golden = build_pdf(42, TEXT.strip(), "pdf_plain")
+    doc = api.open_bytes(data)
+    assert doc.kind == "pdf"
+    assert doc.page_count() == 1
+    assert doc.extract_text() == golden
+    page = doc.get_page(1)
+    assert page.width == spec.PAGE_W and page.height == spec.PAGE_H
+    assert page.extract_words()[0]["text"] == "the"
+
+
+def test_metadata():
+    data, _ = build_pdf(42, TEXT.strip(), "pdf_plain")
+    meta = api.open_bytes(data).metadata()
+    assert meta["Title"] == "doc 42"
+    assert meta["Author"] == "host42.example"
+    assert meta["Producer"] == "pdfplumber-golang-spark"
+    assert meta["CreationDate"].startswith("D:2024")
+
+
+def test_crop_and_filter():
+    data, _ = build_pdf(42, TEXT.strip(), "pdf_plain")
+    page = api.open_bytes(data).get_page(1)
+    n_all = len(page.chars)
+    # crop strictly inside the first line's band (Intersects semantics pull
+    # in any touching bbox, so stay clear of the adjacent line's y1)
+    band = page.crop((0, spec.TEXT_Y0 + 1, spec.PAGE_W, spec.TEXT_Y0 + 11))
+    assert 0 < len(band.chars) < n_all
+    assert band.extract_text() == spec.wrap_chars(TEXT.strip())[0]
+    # predicate filter: only 'q' chars
+    q_only = page.filter(lambda c: c[0] == "q")
+    assert len(q_only.chars) == TEXT.strip().count("q")
+
+
+def test_open_html_document():
+    body = "alpha beta gamma " * 10
+    doc = api.open_bytes(build_html(7, body.strip()))
+    assert doc.kind == "html"
+    assert doc.extract_text() == spec.html_golden(body.strip())
+
+
+def test_graphics_tables_via_api():
+    data, _ = build_pdf(6, TEXT.strip(), "pdf_graphics")
+    page = api.open_bytes(data).get_page(1)
+    tabs = page.extract_tables()
+    assert len(tabs) == 1 and len(tabs[0]["rows"]) == 3
