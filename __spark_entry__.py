@@ -204,6 +204,24 @@ def _q_pdf_words(spark, sf_dir):
     )
 
 
+def _q_word_bboxes(spark, sf_dir):
+    """Y5 full output check: word text + bbox values (not just counts),
+    oracle = independent SQL window implementation of the same sessionize."""
+    chars = synth_rel.chars_rel(spark, sf_dir)
+    w = layout_ops.words(chars)
+    return w.select(
+        "url",
+        F.col("line_id").cast("long").alias("line_id"),
+        F.col("word_id").cast("long").alias("word_id"),
+        "word_text",
+        F.round("x0", 3).alias("x0"),
+        F.round("y0", 3).alias("y0"),
+        F.round("x1", 3).alias("x1"),
+        F.round("y1", 3).alias("y1"),
+        "n_chars",
+    )
+
+
 def _q_pdf_metadata(spark, sf_dir):
     """Trailer /Info metadata per PDF url (reference defines the Metadata
     struct but never fills it — we implement the read)."""
@@ -285,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_words": _q_pdf_words,
         "pdf_metadata": _q_pdf_metadata,
         "pdf_line_texts": _q_pdf_line_texts,
+        "word_bboxes": _q_word_bboxes,
     }
 
 
@@ -432,5 +451,37 @@ SELECT {spec.SQL_URL} AS url, CAST(i + 1 AS BIGINT) AS line_no,
 FROM (SELECT doc_id, text,
              unnest(generate_series(0, (length(text) - 1) // {w})) AS i
       FROM documents WHERE {spec.SQL_IS_PDF})
+""",
+        # independent SQL implementation of Y2+Y4+Y5 (lag/cumsum sessionize)
+        "word_bboxes": f"""
+WITH {synth_rel.CHARS_REL_DUCKDB.strip()},
+lined AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_y0 IS NULL OR prev_y0 - y0 > {spec.Y_TOLERANCE}
+                          THEN 1 ELSE 0 END)
+       OVER (PARTITION BY url, page_no ORDER BY y0 DESC, x0 ASC, char_idx ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS line_id
+  FROM (SELECT *, LAG(y0) OVER (PARTITION BY url, page_no
+                                ORDER BY y0 DESC, x0 ASC, char_idx ASC) AS prev_y0
+        FROM chars_rel)
+),
+worded AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_x1 IS NULL OR x0 - prev_x1 > {spec.X_TOLERANCE}
+                               OR x0 - prev_x1 > width * 0.3
+                               OR prev_text = ' '
+                          THEN 1 ELSE 0 END)
+       OVER (PARTITION BY url, page_no, line_id ORDER BY x0 ASC, char_idx ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS word_id
+  FROM (SELECT *, LAG(x1) OVER wl AS prev_x1, LAG(text) OVER wl AS prev_text
+        FROM lined
+        WINDOW wl AS (PARTITION BY url, page_no, line_id
+                      ORDER BY x0 ASC, char_idx ASC))
+)
+SELECT url, line_id, word_id,
+       string_agg(text, '' ORDER BY x0 ASC, char_idx ASC) AS word_text,
+       ROUND(MIN(x0), 3) AS x0, ROUND(MIN(y0), 3) AS y0,
+       ROUND(MAX(x1), 3) AS x1, ROUND(MAX(y1), 3) AS y1,
+       CAST(COUNT(*) AS BIGINT) AS n_chars
+FROM worded WHERE text <> ' '
+GROUP BY url, page_no, line_id, word_id
 """,
     }

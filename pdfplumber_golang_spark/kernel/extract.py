@@ -77,14 +77,15 @@ def extract_document(url: str, raw: bytes) -> tuple[list[PageResult], str | None
             pages: list[PageResult] = []
             for page_no, mediabox, interp in parse_pdf_objects(raw):
                 text = layout.organize_text(interp.chars)
-                words = layout.extract_words(interp.chars)
                 pages.append(
                     PageResult(
                         page_no=page_no,
                         kind="pdf",
                         text=text,
                         n_chars=len(interp.chars),
-                        n_words=len(words),
+                        # metrics-only count; full word objects (bboxes)
+                        # come from layout.extract_words / layout_ops.words
+                        n_words=len(text.split()),
                         n_edges=len(interp.edges),
                         n_rects=len(interp.rects),
                         width=mediabox[2] - mediabox[0],
