@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from pdfplumber_golang_spark import pipeline, spec
 from pdfplumber_golang_spark.functions import ann, dedup, multimodal, text_analysis
-from pdfplumber_golang_spark.operators import layout_ops, synth_rel
+from pdfplumber_golang_spark.operators import layout_ops, synth_rel, table_ops
 from pdfplumber_golang_spark.sources.pagesgen import (
     build_graphics_pages,
     load_or_build_pages,
@@ -271,6 +271,20 @@ def _q_extract_tables(spark, sf_dir):
     )
 
 
+def _q_extract_tables_relational(spark, sf_dir):
+    """T2+T5+T6 as pure DataFrame algebra: lattice from distinct snapped
+    cuts, cell fill via page-keyed range join — same cells as the kernel."""
+    pages = build_graphics_pages(spark, sf_dir)
+    edges = pipeline.extract_edges(pages)
+    chars = pipeline.extract_chars(pages)
+    return table_ops.extract_tables_relational(edges, chars).select(
+        "url",
+        F.col("row_no").cast("long").alias("row_no"),
+        F.col("col_no").cast("long").alias("col_no"),
+        "cell_text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text_html": _q_extract_html,
@@ -298,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann.ann_lsh,
         "media_features": multimodal.media_features_q,
         "extract_tables_lattice": _q_extract_tables,
+        "extract_tables_relational": _q_extract_tables_relational,
         "crop_filter": _q_crop_filter,
         "y_inversion": _q_y_inversion,
         "pdf_words": _q_pdf_words,
@@ -403,6 +418,15 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         # holds writer cell (r = 2 - i, c = j)
         "extract_tables_lattice": f"""
 SELECT {spec.SQL_URL} AS url, CAST(0 AS BIGINT) AS table_no,
+       CAST(i AS BIGINT) AS row_no, CAST(j AS BIGINT) AS col_no,
+       'c' || CAST(doc_id % 100 AS STRING) || 'r' || CAST(2 - i AS STRING)
+           || 'c' || CAST(j AS STRING) AS cell_text
+FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS i FROM documents
+      WHERE doc_id % 10 = 6),
+     (SELECT unnest(generate_series(0, 2)) AS j)
+""",
+        "extract_tables_relational": f"""
+SELECT {spec.SQL_URL} AS url,
        CAST(i AS BIGINT) AS row_no, CAST(j AS BIGINT) AS col_no,
        'c' || CAST(doc_id % 100 AS STRING) || 'r' || CAST(2 - i AS STRING)
            || 'c' || CAST(j AS STRING) AS cell_text

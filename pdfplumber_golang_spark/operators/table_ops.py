@@ -1,0 +1,116 @@
+"""Table detection as pure DataFrame operators (T2+T5+T6 relationally).
+
+The kernel path (kernel/tables.py) runs per page inside mapInPandas; this
+module expresses the same lattice algorithm as Catalyst-visible relational
+algebra — the SURVEY §2.8 design: the chars↔cells containment is a
+range/interval join realized as a per-page equi-join plus range predicate
+(the page key bounds the join fan-out; cells-per-page and chars-per-page
+are small constants, so the "bin" IS the page).
+
+Limitations vs the kernel (documented): one lattice region per page (no
+30pt group split — the relational flow targets ruled full-grid pages), no
+text-based fallback. Use the kernel path for the general case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import spec
+from .layout_ops import classify_orientation
+
+SNAP_TOL = 3.0
+TEXT_TOL = 3.0
+
+
+def _cuts(edges: DataFrame, orientation: str) -> DataFrame:
+    """T5: distinct snapped axis positions → consecutive (lo, hi) bands."""
+    pos = F.round(
+        (F.col("y0") if orientation == "h" else F.col("x0")) / SNAP_TOL
+    ) * SNAP_TOL
+    distinct = (
+        edges.where(F.col("orientation") == orientation)
+        .select("url", "page_no", pos.alias("pos"))
+        .distinct()
+    )
+    w = Window.partitionBy("url", "page_no").orderBy("pos")
+    return (
+        distinct.withColumn("next_pos", F.lead("pos").over(w))
+        .where(F.col("next_pos").isNotNull())
+        .withColumn("band_no", F.row_number().over(w) - 1)
+    )
+
+
+def lattice_cells(edges: DataFrame) -> DataFrame:
+    """T2+T5: edges → cell grid (url, page_no, row_no, col_no, bounds).
+
+    row_no ascends with PDF y (bottom-to-top), matching the kernel/reference
+    cell ordering (table_extractor.go:254-276)."""
+    e = classify_orientation(edges, SNAP_TOL)
+    hbands = _cuts(e, "h").select(
+        "url", "page_no",
+        F.col("band_no").alias("row_no"),
+        F.col("pos").alias("y_lo"), F.col("next_pos").alias("y_hi"),
+    )
+    vbands = _cuts(e, "v").select(
+        "url", "page_no",
+        F.col("band_no").alias("col_no"),
+        F.col("pos").alias("x_lo"), F.col("next_pos").alias("x_hi"),
+    )
+    return hbands.join(vbands, ["url", "page_no"])
+
+
+def fill_cells(cells: DataFrame, chars: DataFrame) -> DataFrame:
+    """T6: chars whose center falls inside a cell, reading order within.
+
+    Range join = equi-join on the page key + center-in-bounds predicate;
+    newline/space insertion identical to the kernel's cell_text."""
+    cx = (F.col("x0") + F.col("x1")) / 2
+    cy = (F.col("y0") + F.col("y1")) / 2
+    ch = chars.select(
+        "url", "page_no", "char_idx", "text",
+        F.col("x0").alias("cx0"), F.col("x1").alias("cx1"),
+        cx.alias("cx"), cy.alias("cy"), F.col("y0").alias("cy0"),
+    )
+    joined = cells.join(ch, ["url", "page_no"]).where(
+        (F.col("cx") >= F.col("x_lo")) & (F.col("cx") <= F.col("x_hi"))
+        & (F.col("cy") >= F.col("y_lo")) & (F.col("cy") <= F.col("y_hi"))
+    )
+    w = Window.partitionBy("url", "page_no", "row_no", "col_no").orderBy(
+        "cy0", "cx0", "char_idx"
+    )
+    y_jump = F.abs(F.col("cy0") - F.lag("cy0").over(w)) > TEXT_TOL
+    x_gap = (F.col("cx0") - F.lag("cx1").over(w)) > TEXT_TOL
+    piece = (
+        F.when(F.lag("cy0").over(w).isNull(), F.col("text"))
+        .when(y_jump, F.concat(F.lit("\n"), F.col("text")))
+        .when(x_gap, F.concat(F.lit(" "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    filled = (
+        joined.withColumn("piece", piece)
+        .groupBy("url", "page_no", "row_no", "col_no")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("cy0", "cx0", "char_idx", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+            ).alias("cell_text")
+        )
+    )
+    # empty cells must still appear (left join back onto the full grid)
+    return (
+        cells.select("url", "page_no", "row_no", "col_no")
+        .join(filled, ["url", "page_no", "row_no", "col_no"], "left")
+        .fillna("", ["cell_text"])
+    )
+
+
+def extract_tables_relational(edges: DataFrame, chars: DataFrame) -> DataFrame:
+    """Full relational lattice path: edges + chars → filled cell grid."""
+    return fill_cells(lattice_cells(edges), chars)

@@ -201,6 +201,63 @@ def extract_tables_df(
     )
 
 
+EDGE_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("width", T.DoubleType()),
+        T.StructField("src", T.StringType()),
+    ]
+)
+
+
+def _edge_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .kernel.extract import parse_pdf_objects
+    from .kernel.tables import rects_to_edges
+
+    cols = [f.name for f in EDGE_ROWS_SCHEMA.fields]
+    for pdf in it:
+        out: dict[str, list] = {c: [] for c in cols}
+
+        def emit(url, page_no, e, src):
+            out["url"].append(url)
+            out["page_no"].append(page_no)
+            out["x0"].append(e[0])
+            out["y0"].append(e[1])
+            out["x1"].append(e[2])
+            out["y1"].append(e[3])
+            out["width"].append(e[4] if len(e) > 4 else 1.0)
+            out["src"].append(src)
+
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            raw = bytes(raw)
+            if raw[:5] != b"%PDF-":
+                continue
+            try:
+                for page_no, _mb, interp in parse_pdf_objects(raw):
+                    for e in interp.edges:
+                        emit(url, page_no, e, "line")
+                    rh, rv = rects_to_edges(interp.rects)
+                    for e in rh + rv:
+                        emit(url, page_no, e, "rect_edge")
+            except Exception:
+                continue
+        yield pd.DataFrame(out)
+
+
+def extract_edges(
+    pages: DataFrame, parallelism: int = 32, salt: bool = False
+) -> DataFrame:
+    """pages table → flat edges relation (lines + rect-expanded edges, T3)."""
+    return _salted(pages, parallelism, salt).mapInPandas(
+        _edge_batches, schema=EDGE_ROWS_SCHEMA
+    )
+
+
 METADATA_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),

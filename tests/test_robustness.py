@@ -1,0 +1,75 @@
+"""Adversarial-input robustness: the kernel must never raise out of
+extract_document — malformed inputs become error rows (executor safety at
+10^12 docs is non-negotiable). Property-based via hypothesis."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdfplumber_golang_spark.kernel.extract import extract_document
+from pdfplumber_golang_spark.kernel.pdfwrite import build_pdf
+
+BASE_PDF, _ = build_pdf(3, "some sample body text for fuzzing " * 6, "pdf_plain")
+BASE_FLATE, _ = build_pdf(3, "compressed body text " * 8, "pdf_flate")
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    prefix=st.sampled_from([b"", b"%PDF-", b"%PDF-1.4\n", b"<html>", b"\x00\xff"]),
+)
+def test_arbitrary_bytes_never_crash(data, prefix):
+    pages, err = extract_document("u", prefix + data)
+    assert (pages == [] and err is not None) or err is None
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    pos=st.integers(min_value=0, max_value=len(BASE_PDF) - 1),
+    byte=st.integers(min_value=0, max_value=255),
+)
+def test_single_byte_corruption_never_crashes(pos, byte):
+    corrupted = BASE_PDF[:pos] + bytes([byte]) + BASE_PDF[pos + 1 :]
+    pages, err = extract_document("u", corrupted)
+    # either parses (possibly different text) or reports an error row
+    assert isinstance(pages, list)
+    if err is None:
+        for p in pages:
+            assert isinstance(p.text, str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(cut=st.integers(min_value=0, max_value=len(BASE_FLATE)))
+def test_truncation_never_crashes(cut):
+    pages, err = extract_document("u", BASE_FLATE[:cut])
+    assert isinstance(pages, list)
+
+
+def test_pathological_structures():
+    # cyclic indirect reference: resolve() depth cap
+    from pdfplumber_golang_spark.kernel.pdfwrite import _assemble
+
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"2 0 R",  # self-referential object
+    }
+    pages, err = extract_document("u", _assemble(objects))
+    assert err is not None
+    # page tree cycle: Pages node listing itself as kid -> depth cap
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>",
+    }
+    pages, err = extract_document("u", _assemble(objects))
+    assert err is not None
+    # enormous TJ kern array must not blow up
+    body = b"BT /F1 12 Tf [" + b"(x) 5 " * 5000 + b"] TJ ET"
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792]"
+           b" /Resources << /Font << /F1 4 0 R >> >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: b"<< /Length %d >>\nstream\n" % len(body) + body + b"\nendstream",
+    }
+    pages, err = extract_document("u", _assemble(objects))
+    assert err is None and pages[0].n_chars == 5000
