@@ -23,8 +23,29 @@ from pdfplumber_golang_spark.sources.pagesgen import (
 )
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package zip to executors of an externally created session
+    (the driver harness builds its own SparkSession without addPyFile;
+    pandas-UDF closures are pickled by reference and need the package
+    importable on workers)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        from pdfplumber_golang_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added or local import fallback (cwd) applies
+    _SHIPPED.add(key)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction (PDF parse + HTML strip) on sf0.001."""
+    _ensure_shipped(spark)
     pages = load_or_build_pages(spark, "/root/testdata/sf0.001")
     page_rows = pipeline.extract_pages(pages)
     return pipeline.doc_text(page_rows)
@@ -285,7 +306,24 @@ def _q_extract_tables_relational(spark, sf_dir):
     )
 
 
+def _shipped(fn: Callable) -> Callable:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    wrapper.__doc__ = fn.__doc__
+    wrapper.__name__ = getattr(fn, "__name__", "query")
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        name: _shipped(fn)
+        for name, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text_html": _q_extract_html,
         "extract_text_pdf": _q_extract_pdf,
