@@ -35,6 +35,37 @@ def test_generator_roundtrip_identity():
     assert got == spec.html_golden(body)
 
 
+def test_fast_scanner_parity_with_reference_parser():
+    """The regex scanner must match the stdlib-HTMLParser implementation
+    block-for-block on the full corpus and on adversarial shapes."""
+    import duckdb
+
+    from pdfplumber_golang_spark.kernel.html_extract import (
+        extract_html_text_reference,
+    )
+
+    rows = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    for d, t in rows:
+        if spec.variant_of(d) != "html":
+            continue
+        h = build_html(d, spec.body_of(d, t))
+        assert extract_html_text(h) == extract_html_text_reference(h), d
+    cases = [
+        b"<p>unclosed <a href=x>all link text here and more and more</a>",
+        b"<script>var x = '<p>not text</p>';</script><p>real body text</p>",
+        b"<br/><p/>self closing <p>kept paragraph</p>",
+        b"<!-- <p>comment</p> --><p>after comment</p>",
+        b"<P>UPPER</P>",
+        b"<style>p { color: red }</style><p>visible words</p>",
+        b"",
+        b"<div>" * 50 + b"deep text" + b"</div>" * 50,
+    ]
+    for c in cases:
+        assert extract_html_text(c) == extract_html_text_reference(c), c
+
+
 def test_entities_and_misnesting_tolerated():
     html = b"<body><p>a &amp; b<div>next block</p></div></body>"
     out = extract_html_text(html)
