@@ -21,19 +21,12 @@ from __future__ import annotations
 from . import lexer as lx
 from .cmap import CMap
 
-_NARROW = frozenset("ilI!.,;:'\"")
-_WIDE = frozenset("mMWw")
+_WIDTHS = {" ": 0.25, **{c: 0.3 for c in "ilI!.,;:'\""}, **{c: 0.8 for c in "mMWw"}}
 
 
 def char_width_factor(ch: str) -> float:
     """Reference heuristic width in em (content_stream_parser.go:1244-1257)."""
-    if ch == " ":
-        return 0.25
-    if ch in _NARROW:
-        return 0.3
-    if ch in _WIDE:
-        return 0.8
-    return 0.5
+    return _WIDTHS.get(ch, 0.5)
 
 
 class Font:
@@ -263,14 +256,25 @@ class Interpreter:
         ctm = self.gs.ctm
         chars = self.chars
         fname = font.name
+        widths = _WIDTHS
+        a, b, c, d, e, f = self.tm
+        if ctm == IDENTITY and b == 0.0 and hs == 1.0:
+            # dominant case: untransformed horizontal text — flat fast path
+            append = chars.append
+            for ch in text:
+                w = widths.get(ch, 0.5) * fs
+                append((ch, fname, fs, e, f, e + w, f + fs, w, fs))
+                e += (w + (ws if ch == " " else 0.0) + cs) * a
+            self.tm = (a, b, c, d, e, f)
+            return
         for ch in text:
-            w = char_width_factor(ch) * fs
-            a, b, c, d, e, f = self.tm
+            w = widths.get(ch, 0.5) * fs
             x, y = _apply(ctm, e, f)
             chars.append((ch, fname, fs, x, y, x + w, y + fs, w, fs))
-            disp = w + (ws if ch == " " else 0.0) + cs
-            disp *= hs
-            self.tm = (a, b, c, d, e + disp * a, f + disp * b)
+            disp = (w + (ws if ch == " " else 0.0) + cs) * hs
+            e += disp * a
+            f += disp * b
+        self.tm = (a, b, c, d, e, f)
 
     # ------------------------------------------------- graphics state ----
     def op_q(self, o):

@@ -130,6 +130,9 @@ class PDFDocument:
             if count_t.kind != lx.NUM:
                 raise PDFError("malformed xref count")
             count = int(count_t.val)
+            lex._skip_ws()
+            if self._parse_xref_fixed(lex, start, count):
+                continue
             for i in range(count):
                 off_t, gen_t, flag_t = lex.next(), lex.next(), lex.next()
                 if off_t.kind != lx.NUM or flag_t.kind != lx.KEYWORD:
@@ -137,6 +140,31 @@ class PDFDocument:
                 if flag_t.val == "n":
                     self.xref.setdefault(start + i, int(off_t.val))
         return self._parse_value(lex)
+
+    def _parse_xref_fixed(self, lex, start: int, count: int) -> bool:
+        """Fast path: spec-conformant 20-byte xref rows
+        ('nnnnnnnnnn ggggg n \\n'); falls back to token parsing if the
+        section isn't exactly fixed-width."""
+        pos = lex.pos
+        end = pos + 20 * count
+        if end > len(self.data):
+            return False
+        block = self.data[pos:end]
+        setdefault = self.xref.setdefault
+        for i in range(count):
+            row = block[20 * i : 20 * i + 20]
+            if row[10:11] != b" " or row[16:17] != b" ":
+                return False
+            flag = row[17:18]
+            if flag not in (b"n", b"f"):
+                return False
+            if flag == b"n":
+                try:
+                    setdefault(start + i, int(row[:10]))
+                except ValueError:
+                    return False
+        lex.pos = end
+        return True
 
     # --------------------------------------------------------- objects ---
     def _parse_value(self, lex: lx.Lexer):
