@@ -292,6 +292,14 @@ def _q_extract_tables(spark, sf_dir):
     )
 
 
+def _q_events_windowed(spark, sf_dir):
+    """Event-time tumbling-window aggregation (batch twin of the
+    Structured Streaming path in streaming/windowed.py)."""
+    from pdfplumber_golang_spark.streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(spark, sf_dir)
+
+
 def _q_extract_tables_relational(spark, sf_dir):
     """T2+T5+T6 as pure DataFrame algebra: lattice from distinct snapped
     cuts, cell fill via page-keyed range join — same cells as the kernel."""
@@ -357,6 +365,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_metadata": _q_pdf_metadata,
         "pdf_line_texts": _q_pdf_line_texts,
         "word_bboxes": _q_word_bboxes,
+        "events_windowed_agg": _q_events_windowed,
     }
 
 
@@ -546,4 +555,13 @@ SELECT url, line_id, word_id,
 FROM worded WHERE text <> ' '
 GROUP BY url, page_no, line_id, word_id
 """,
+        "events_windowed_agg": _events_windowed_oracle(),
     }
+
+
+def _events_windowed_oracle() -> str:
+    from pdfplumber_golang_spark.streaming.windowed import (
+        windowed_event_counts_oracle,
+    )
+
+    return windowed_event_counts_oracle()

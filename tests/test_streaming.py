@@ -38,3 +38,23 @@ def test_stream_matches_batch(spark, dirs):
     q2 = stream_extract(spark, dirs["in"], dirs["out"], dirs["ckpt"])
     q2.awaitTermination(60)
     assert spark.read.parquet(dirs["out"]).count() == len(s)
+
+
+def test_windowed_agg_stream_matches_batch(spark, dirs):
+    import shutil as sh
+
+    from pdfplumber_golang_spark.streaming.windowed import (
+        stream_windowed_event_counts,
+        windowed_event_counts,
+    )
+
+    os.makedirs(dirs["in"], exist_ok=True)
+    sh.copy(f"{SF_DIR}/events.parquet", os.path.join(dirs["in"], "part-0.parquet"))
+    streamed = stream_windowed_event_counts(spark, dirs["in"], dirs["ckpt"]).toPandas()
+    batch = windowed_event_counts(spark, SF_DIR).toPandas()
+    key = ["window_start", "event_type"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    for col in ("window_start", "event_type", "n_events", "sum_value"):
+        assert s[col].astype(str).tolist() == b[col].astype(str).tolist(), col
