@@ -198,7 +198,7 @@ def _HW_WORK(k):
 
 def scaling(n: int = 4) -> None:
     """Same materialized job, fresh JVM, at local[n] and local[4n]."""
-    repeat = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "40"))
+    repeat = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "160"))
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
     corpus = _scale_corpus(repeat)
     best: dict[int, dict] = {}
