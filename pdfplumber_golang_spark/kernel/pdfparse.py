@@ -78,8 +78,11 @@ class PDFDocument:
     def __init__(self, data: bytes):
         self.data = data
         self.xref: dict[int, int] = {}      # objnum -> byte offset
+        #: objnum -> (objstm_num, index) for compressed objects (PDF 1.5)
+        self.xref_compressed: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
         self.version = self._verify_header()
         self._parse_xref_chain()
         self.pages: list[Page] = self._build_pages()
@@ -117,8 +120,13 @@ class PDFDocument:
     def _parse_xref_section(self, offset: int) -> dict:
         lex = lx.Lexer(self.data, offset)
         tok = lex.next()
+        if tok.kind == lx.NUM:
+            # PDF 1.5+: startxref points at a cross-reference STREAM object
+            # (beyond the classic-only reference parser)
+            lex.push_back(tok)
+            return self._parse_xref_stream(lex)
         if not (tok.kind == lx.KEYWORD and tok.val == "xref"):
-            raise PDFError(f"no classic xref table at {offset} (xref streams unsupported)")
+            raise PDFError(f"no xref table or stream at {offset}")
         while True:
             tok = lex.next()
             if tok.kind == lx.KEYWORD and tok.val == "trailer":
@@ -165,6 +173,72 @@ class PDFDocument:
                     return False
         lex.pos = end
         return True
+
+    def _parse_xref_stream(self, lex: lx.Lexer) -> dict:
+        """/Type/XRef stream: W-field-encoded rows; type 1 = byte offset,
+        type 2 = (object-stream number, index)."""
+        t1, t2, t3 = lex.next(), lex.next(), lex.next()
+        if not (t1.kind == lx.NUM and t2.kind == lx.NUM
+                and t3.kind == lx.KEYWORD and t3.val == "obj"):
+            raise PDFError("xref stream: not an indirect object")
+        st = self._parse_value(lex)
+        if not isinstance(st, Stream) or str(self.resolve(st.dict.get("Type"))) != "XRef":
+            raise PDFError("xref stream: /Type /XRef missing")
+        data = self.stream_data(st)
+        w = [int(self.resolve(v)) for v in self.resolve(st.dict.get("W")) or []]
+        if len(w) != 3:
+            raise PDFError("xref stream: bad /W")
+        size = int(self.resolve(st.dict.get("Size")) or 0)
+        index = self.resolve(st.dict.get("Index")) or [0, size]
+        index = [int(self.resolve(v)) for v in index]
+        rowlen = sum(w)
+
+        def field(row: bytes, start: int, width: int, default: int) -> int:
+            if width == 0:
+                return default
+            return int.from_bytes(row[start : start + width], "big")
+
+        pos = 0
+        for i in range(0, len(index), 2):
+            start, count = index[i], index[i + 1]
+            for k in range(count):
+                row = data[pos : pos + rowlen]
+                pos += rowlen
+                if len(row) < rowlen:
+                    break
+                typ = field(row, 0, w[0], 1)
+                f2 = field(row, w[0], w[1], 0)
+                f3 = field(row, w[0] + w[1], w[2], 0)
+                num = start + k
+                if typ == 1:
+                    self.xref.setdefault(num, f2)
+                elif typ == 2 and num not in self.xref_compressed:
+                    self.xref_compressed.setdefault(num, (f2, f3))
+        return dict(st.dict)
+
+    def _load_objstm(self, num: int) -> dict[int, object]:
+        """Parse a /Type/ObjStm container: N pairs of (objnum, offset) then
+        the concatenated object bodies starting at /First."""
+        if num in self._objstm_cache:
+            return self._objstm_cache[num]
+        container = self.get_object(Ref(num, 0))
+        out: dict[int, object] = {}
+        if isinstance(container, Stream):
+            data = self.stream_data(container)
+            n = int(self.resolve(container.dict.get("N")) or 0)
+            first = int(self.resolve(container.dict.get("First")) or 0)
+            hlex = lx.Lexer(data[:first])
+            pairs = []
+            for _ in range(n):
+                a, b = hlex.next(), hlex.next()
+                if a.kind != lx.NUM or b.kind != lx.NUM:
+                    break
+                pairs.append((int(a.val), int(b.val)))
+            for objnum, off in pairs:
+                blex = lx.Lexer(data, first + off)
+                out[objnum] = self._parse_value(blex)
+        self._objstm_cache[num] = out
+        return out
 
     # --------------------------------------------------------- objects ---
     def _parse_value(self, lex: lx.Lexer):
@@ -246,6 +320,11 @@ class PDFDocument:
             return self._cache[ref.num]
         off = self.xref.get(ref.num)
         if off is None:
+            loc = self.xref_compressed.get(ref.num)
+            if loc is not None:
+                val = self._load_objstm(loc[0]).get(ref.num)
+                self._cache[ref.num] = val
+                return val
             return None
         lex = lx.Lexer(self.data, off)
         t1, t2, t3 = lex.next(), lex.next(), lex.next()
@@ -297,8 +376,21 @@ class PDFDocument:
         filters = (
             [filt] if isinstance(filt, (str, Name)) else (filt or [])
         )
-        for f in filters:
+        parms = self.resolve(st.dict.get("DecodeParms") or st.dict.get("DP"))
+        parms_list = [parms] if isinstance(parms, (dict, type(None))) else parms
+        for i, f in enumerate(filters):
             data = _decode_filter(str(self.resolve(f)), data)
+            p = None
+            if parms_list and i < len(parms_list):
+                p = self.resolve(parms_list[i])
+            if isinstance(p, dict):
+                pred = int(self.resolve(p.get("Predictor")) or 1)
+                if pred >= 10:
+                    cols = int(self.resolve(p.get("Columns")) or 1)
+                    colors = int(self.resolve(p.get("Colors")) or 1)
+                    bpc = int(self.resolve(p.get("BitsPerComponent")) or 8)
+                    data = _png_unpredict(data, cols * colors * bpc // 8,
+                                          colors * bpc // 8)
         st._decoded = data
         return data
 
@@ -357,6 +449,41 @@ class PDFDocument:
                 rotate=rotate,
             )
         )
+
+
+def _png_unpredict(data: bytes, rowlen: int, bpp: int) -> bytes:
+    """Reverse PNG row filters (predictors 10-15): each encoded row is one
+    filter-type byte + rowlen bytes; filters None/Sub/Up/Average/Paeth."""
+    if rowlen <= 0:
+        return data
+    out = bytearray()
+    prev = bytearray(rowlen)
+    stride = rowlen + 1
+    for r in range(0, len(data) - stride + 1, stride):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowlen])
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
 
 
 def _decode_filter(name: str, data: bytes) -> bytes:

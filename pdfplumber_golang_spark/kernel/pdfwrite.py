@@ -160,6 +160,79 @@ def _graphics_stream(doc_id: int, lines: list[str]) -> bytes:
 # --- assembler --------------------------------------------------------------
 
 
+def _assemble_xrefstream(objects: dict[int, bytes], compressible: set[int]) -> bytes:
+    """PDF 1.5 layout: objects in `compressible` are packed into one object
+    stream (/Type/ObjStm); the cross-reference table is a /Type/XRef stream
+    (W [1 2 1], FlateDecode with PNG up-predictor) — the modern file shape
+    the classic-xref-only reference cannot read."""
+    maxnum = max(objects) + 2
+    objstm_num, xref_num = max(objects) + 1, max(objects) + 2
+
+    # build the object stream: header of "objnum offset" pairs, then bodies
+    packed = sorted(compressible)
+    bodies, offsets, pos = [], [], 0
+    for num in packed:
+        body = objects[num]
+        offsets.append((num, pos))
+        bodies.append(body)
+        pos += len(body) + 1
+    header = " ".join(f"{n} {o}" for n, o in offsets).encode() + b"\n"
+    content = header + b"\n".join(bodies) + b"\n"
+    first = len(header)
+    objstm_data = zlib.compress(content)
+
+    out = bytearray(b"%PDF-1.5\n")
+    byte_off: dict[int, int] = {}
+    for num in sorted(objects):
+        if num in compressible:
+            continue
+        byte_off[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    byte_off[objstm_num] = len(out)
+    out += (
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d"
+        b" /Filter /FlateDecode >>\nstream\n" % (objstm_num, len(packed), first, len(objstm_data))
+        + objstm_data
+        + b"\nendstream\nendobj\n"
+    )
+
+    # xref stream rows, W = [1 2 1]
+    rows = bytearray()
+    for num in range(maxnum + 1):
+        if num == 0:
+            rows += bytes([0, 0, 0, 255])
+        elif num in byte_off or num == xref_num:
+            off = byte_off.get(num, 0)  # xref stream offset patched below
+            rows += bytes([1]) + off.to_bytes(2, "big") + bytes([0])
+        elif num in compressible:
+            idx = packed.index(num)
+            rows += bytes([2]) + objstm_num.to_bytes(2, "big") + bytes([idx])
+        else:
+            rows += bytes([0, 0, 0, 0])
+    xref_off = len(out)
+    # patch the xref stream's own offset into its row
+    row = bytes([1]) + xref_off.to_bytes(2, "big") + bytes([0])
+    rows[4 * xref_num : 4 * xref_num + 4] = row
+    # PNG up-predictor (12), columns = 4
+    pred = bytearray()
+    prev = bytes(4)
+    for i in range(0, len(rows), 4):
+        cur = bytes(rows[i : i + 4])
+        pred += bytes([2]) + bytes((c - p) & 0xFF for c, p in zip(cur, prev))
+        prev = cur
+    xref_data = zlib.compress(bytes(pred))
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 2 1] /Root 1 0 R"
+        b" /Info 9 0 R"
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>"
+        b" /Length %d >>\nstream\n" % (xref_num, maxnum + 1, len(xref_data))
+        + xref_data
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
 def _assemble(objects: dict[int, bytes]) -> bytes:
     """Serialize numbered objects into a classic-xref PDF."""
     out = bytearray(b"%PDF-1.4\n")
@@ -272,6 +345,14 @@ def build_pdf(doc_id: int, text: str, variant: str) -> tuple[bytes, str]:
     pages_dict += b" >>"
     objects[2] = pages_dict
 
+    if variant == "pdf_xrefstream":
+        # dict-only objects (catalog/pages/page/font/info) go into the
+        # object stream; stream objects stay top-level
+        compressible = {
+            n for n in objects
+            if b"\nstream\n" not in objects[n] and not objects[n].endswith(b"endstream")
+        }
+        return _assemble_xrefstream(objects, compressible), golden
     return _assemble(objects), golden
 
 

@@ -59,7 +59,8 @@ def variant_of(doc_id: int) -> str:
     if m <= 5:
         return "html"
     if m == 6:
-        return "pdf_plain"
+        # half classic-xref, half PDF 1.5 xref-stream + object-stream files
+        return "pdf_xrefstream" if doc_id % 20 == 16 else "pdf_plain"
     if m == 7:
         return "pdf_flate"
     if m == 8:
