@@ -354,6 +354,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_analysis.quality_score,
         "text_token_count": text_analysis.token_count,
         "text_fingerprint": text_analysis.fingerprint,
+        "text_fingerprint_rolling": text_analysis.fingerprint_rolling,
+        "dedup_embedding_cosine": ann.embedding_cosine_dups,
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
         "media_features": multimodal.media_features_q,
@@ -457,6 +459,8 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "text_quality": text_analysis.quality_score_oracle(),
         "text_token_count": text_analysis.token_count_oracle(),
         "text_fingerprint": text_analysis.fingerprint_oracle(),
+        "text_fingerprint_rolling": text_analysis.fingerprint_rolling_oracle(),
+        "dedup_embedding_cosine": ann.embedding_cosine_dups_oracle(),
         "ann_bruteforce": ann.ann_bruteforce_oracle(),
         "ann_lsh": ann.ann_lsh_oracle(),
         "media_features": multimodal.media_features_oracle(),

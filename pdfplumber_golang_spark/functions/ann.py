@@ -130,6 +130,49 @@ def _signature(v_col):
     return sig
 
 
+COSINE_DUP_THRESHOLD = 0.35
+
+
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine >=
+    threshold. Brute force here (500 vectors); at 10^12 scale the LSH
+    bucket join (ann_lsh) generates the candidate pairs first."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select(
+            F.col("vec_a").cast("long").alias("vec_a"),
+            F.col("vec_b").cast("long").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+def embedding_cosine_dups_oracle() -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])))
+          * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) AS cos
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+       ROUND(cos, 4) AS cosine
+FROM scored WHERE ROUND(cos, 4) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: candidates restricted to the query's bucket.
     Output: (query_id, neighbor_id, cosine) for bucket-mates ranked top-K."""

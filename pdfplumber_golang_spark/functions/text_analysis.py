@@ -163,6 +163,35 @@ FROM documents
 """
 
 
+#: Karp-Rabin polynomial rolling hash params (fits int64: a*257+255 < 2^40)
+RH_BASE = 257
+RH_MOD = 2147483647
+
+
+def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (Karp-Rabin) document fingerprint: Horner fold
+    h = fold(h * B + ascii(c)) mod M over the chars — pure JVM-side
+    aggregate, bit-identical to DuckDB's list_reduce oracle."""
+    docs = _docs(spark, sf_dir)
+    h = F.expr(
+        f"aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), "
+        f"(a, i) -> (a * {RH_BASE} + ascii(substring(text, i, 1))) % {RH_MOD})"
+    )
+    return docs.select("url", h.alias("rolling_hash"))
+
+
+def fingerprint_rolling_oracle() -> str:
+    return f"""
+SELECT {spec.SQL_URL} AS url,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, length(text)),
+                          i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         (a, x) -> (a * {RH_BASE} + x) % {RH_MOD}) AS rolling_hash
+FROM documents
+"""
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text."""
     docs = _docs(spark, sf_dir)
