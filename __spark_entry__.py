@@ -351,6 +351,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.simhash,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "text_langid": text_analysis.lang_id,
+        "text_langid_trigram": text_analysis.lang_id_trigram,
         "text_quality": text_analysis.quality_score,
         "text_token_count": text_analysis.token_count,
         "text_fingerprint": text_analysis.fingerprint,
@@ -456,6 +457,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "dedup_simhash": dedup.simhash_oracle(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
         "text_langid": text_analysis.lang_id_oracle(),
+        "text_langid_trigram": text_analysis.lang_id_trigram_oracle(),
         "text_quality": text_analysis.quality_score_oracle(),
         "text_token_count": text_analysis.token_count_oracle(),
         "text_fingerprint": text_analysis.fingerprint_oracle(),

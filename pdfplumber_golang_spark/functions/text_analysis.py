@@ -98,6 +98,78 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
 """
 
 
+#: small per-language character-trigram profiles (public frequency lists)
+TRIGRAMS = {
+    "en": [" th", "the", "he ", " an", "and", "ing", " of", "ion"],
+    "de": ["der", "ein", "sch", "ich", "nde", "die", "che", "und"],
+    "fr": [" de", "es ", "le ", "ent", "que", "ait", "les", "ion"],
+    "es": [" de", "os ", "la ", "ión", "ent", "ado", "que", "nte"],
+    "zh": ["shi", "zhi", "ong", "ang", "eng", "ian", "uan", "ing"],
+}
+
+
+def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID: score(lang) = total occurrences of
+    that language's profile trigrams in the text (replace-count trick —
+    pure string built-ins, no explode), argmax with lang-code tie-break."""
+    docs = _docs(spark, sf_dir)
+
+    def count_tg(tg: str):
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(tg))))
+            / len(tg)
+        ).cast("long")
+
+    cands = []
+    for lang in sorted(TRIGRAMS):
+        score = None
+        for tg in TRIGRAMS[lang]:
+            c = count_tg(tg)
+            score = c if score is None else score + c
+        cands.append(
+            F.struct(
+                (-score).alias("neg"),
+                F.lit(lang).alias("lang"),
+                score.cast("long").alias("hits"),
+            )
+        )
+    best = F.array_min(F.array(*cands))
+    return docs.select(
+        "url",
+        F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"]).alias(
+            "pred_lang"
+        ),
+        best["hits"].alias("n_hits"),
+    )
+
+
+def lang_id_trigram_oracle() -> str:
+    def score_sql(lang: str) -> str:
+        terms = " + ".join(
+            f"(length(text) - length(replace(text, '{tg}', ''))) // 3"
+            for tg in TRIGRAMS[lang]
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    per = "\n  UNION ALL\n".join(
+        f"SELECT {spec.SQL_URL} AS url, '{lang}' AS lang, {score_sql(lang)} AS hits FROM documents"
+        for lang in sorted(TRIGRAMS)
+    )
+    return f"""
+WITH per AS (
+{per}
+), ranked AS (
+  SELECT url, lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY hits DESC, lang ASC) AS rn
+  FROM per
+)
+SELECT url,
+       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS pred_lang,
+       CAST(hits AS BIGINT) AS n_hits
+FROM ranked WHERE rn = 1
+"""
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality features + score: length, mean word length,
     stopword ratio, alpha ratio. score = 0.4*stop + 0.3*alpha +
