@@ -103,11 +103,12 @@ class Document:
         return "\n".join(p.extract_text() for p in self.pages)
 
 
-def open_bytes(raw: bytes) -> Document:
-    """Router + parse (reference Open(), pdfplumber.go:36-51 — one
-    canonical kernel instead of the backend fallback chain)."""
+def open_bytes(raw: bytes, password: bytes = b"") -> Document:
+    """Router + parse (reference Open()/OpenWithPassword,
+    pdfplumber.go:36-51, document.go:27-67 — one canonical kernel instead
+    of the backend fallback chain)."""
     if raw[:5] == b"%PDF-":
-        doc = PDFDocument(raw)
+        doc = PDFDocument(raw, password=password)
         meta = doc.metadata()
         pages = []
         for page_no, mediabox, interp in parse_pdf_objects(raw, doc=doc):

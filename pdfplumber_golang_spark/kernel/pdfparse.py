@@ -75,7 +75,7 @@ class Page:
 class PDFDocument:
     """Parsed PDF: xref + object cache + page list."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         self.data = data
         self.xref: dict[int, int] = {}      # objnum -> byte offset
         #: objnum -> (objstm_num, index) for compressed objects (PDF 1.5)
@@ -83,9 +83,56 @@ class PDFDocument:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._crypt_key: bytes | None = None
+        self._encrypt_num: int | None = None
         self.version = self._verify_header()
         self._parse_xref_chain()
+        self._setup_encryption(password)
         self.pages: list[Page] = self._build_pages()
+
+    # ------------------------------------------------------- encryption ---
+    def _setup_encryption(self, password: bytes) -> None:
+        """Standard security handler R2/V1 (RC4-40) — the OpenWithPassword
+        capability (reference document.go:27-67 via pdfcpu)."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PDFError("bad /Encrypt dict")
+        from . import crypt
+
+        filt = str(self.resolve(enc.get("Filter")) or "")
+        r = int(self.resolve(enc.get("R")) or 0)
+        if filt != "Standard" or r != 2:
+            raise PDFError(f"unsupported encryption (filter={filt} R={r})")
+        o = self.resolve(enc.get("O")) or b""
+        u = self.resolve(enc.get("U")) or b""
+        p = int(self.resolve(enc.get("P")) or 0)
+        ids = self.resolve(self.trailer.get("ID")) or [b""]
+        id0 = self.resolve(ids[0]) if ids else b""
+        key = crypt.file_key(password, bytes(o), p, bytes(id0))
+        if crypt.user_value(key) != bytes(u):
+            raise PDFError("encrypted: wrong password")
+        self._crypt_key = key
+
+    def _decrypt_value(self, val, num: int, gen: int):
+        """Recursively decrypt strings and stream bytes of object `num`."""
+        from .crypt import crypt_object_bytes
+
+        if isinstance(val, bytes):
+            return crypt_object_bytes(self._crypt_key, num, gen, val)
+        if isinstance(val, list):
+            return [self._decrypt_value(v, num, gen) for v in val]
+        if isinstance(val, Stream):
+            val.raw = crypt_object_bytes(self._crypt_key, num, gen, val.raw)
+            val.dict = self._decrypt_value(val.dict, num, gen)
+            return val
+        if isinstance(val, dict):
+            return {k: self._decrypt_value(v, num, gen) for k, v in val.items()}
+        return val
 
     # ---------------------------------------------------------- header ---
     def _verify_header(self) -> str:
@@ -336,6 +383,8 @@ class PDFDocument:
         ):
             raise PDFError(f"object {ref.num} not at xref offset {off}")
         val = self._parse_value(lex)
+        if self._crypt_key is not None and ref.num != self._encrypt_num:
+            val = self._decrypt_value(val, ref.num, ref.gen)
         self._cache[ref.num] = val
         return val
 

@@ -233,7 +233,11 @@ def _assemble_xrefstream(objects: dict[int, bytes], compressible: set[int]) -> b
     return bytes(out)
 
 
-def _assemble(objects: dict[int, bytes]) -> bytes:
+def _assemble(
+    objects: dict[int, bytes],
+    encrypt_num: int | None = None,
+    id0: bytes | None = None,
+) -> bytes:
     """Serialize numbered objects into a classic-xref PDF."""
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
@@ -251,11 +255,64 @@ def _assemble(objects: dict[int, bytes]) -> bytes:
     trailer = b"<< /Size %d /Root 1 0 R" % (maxnum + 1)
     if 9 in objects:  # obj 9 is reserved for /Info
         trailer += b" /Info 9 0 R"
+    if encrypt_num is not None:
+        hex0 = id0.hex().encode()
+        trailer += b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (encrypt_num, hex0, hex0)
     trailer += b" >>"
     out += b"trailer\n" + trailer + b"\n"
     out += b"startxref\n%d\n" % xref_off
     out += b"%%EOF\n"
     return bytes(out)
+
+
+ENCRYPT_P = -44  # permission bits (print allowed, modify denied)
+
+
+def _encrypt_pdf(objects: dict[int, bytes], doc_id: int) -> tuple[dict[int, bytes], int, bytes]:
+    """Apply the standard security handler (R2/V1 RC4-40, empty user pw):
+    encrypt stream bodies and the /Info strings per-object; append the
+    /Encrypt dict. RC4 preserves length, so /Length stays valid."""
+    import hashlib as _hl
+
+    from . import crypt
+
+    id0 = _hl.md5(b"doc-id:%d" % doc_id).digest()
+    o_val = crypt.owner_value(b"", b"")
+    key = crypt.file_key(b"", o_val, ENCRYPT_P, id0)
+    u_val = crypt.user_value(key)
+
+    out: dict[int, bytes] = {}
+    for num, body in objects.items():
+        marker = b"\nstream\n"
+        if marker in body and body.endswith(b"endstream"):
+            head, rest = body.split(marker, 1)
+            data = rest[: -len(b"\nendstream")]
+            enc = crypt.crypt_object_bytes(key, num, 0, data)
+            out[num] = head + marker + enc + b"\nendstream"
+        elif num == 9:
+            # /Info: encrypt string values, re-emit as hex strings
+            h = doc_id % 97
+            fields = {
+                b"Title": b"doc %d" % doc_id,
+                b"Author": b"host%d.example" % h,
+                b"Producer": b"pdfplumber-golang-spark",
+                b"CreationDate": b"D:20240101000000Z",
+            }
+            parts = [b"<<"]
+            for k, v in fields.items():
+                enc = crypt.crypt_object_bytes(key, num, 0, v)
+                parts.append(b" /%s <%s>" % (k, enc.hex().encode()))
+            parts.append(b" >>")
+            out[num] = b"".join(parts)
+        else:
+            out[num] = body  # no strings in catalog/pages/page/font dicts
+    enc_num = max(objects) + 1
+    out[enc_num] = (
+        b"<< /Filter /Standard /V 1 /R 2 /Length 40"
+        b" /O <%s> /U <%s> /P %d >>"
+        % (o_val.hex().encode(), u_val.hex().encode(), ENCRYPT_P)
+    )
+    return out, enc_num, id0
 
 
 def _info_dict(doc_id: int) -> bytes:
@@ -344,6 +401,10 @@ def build_pdf(doc_id: int, text: str, variant: str) -> tuple[bytes, str]:
         )
     pages_dict += b" >>"
     objects[2] = pages_dict
+
+    if variant == "pdf_encrypted":
+        enc_objects, enc_num, id0 = _encrypt_pdf(objects, doc_id)
+        return _assemble(enc_objects, encrypt_num=enc_num, id0=id0), golden
 
     if variant == "pdf_xrefstream":
         # dict-only objects (catalog/pages/page/font/info) go into the
