@@ -59,8 +59,12 @@ def variant_of(doc_id: int) -> str:
     if m <= 5:
         return "html"
     if m == 6:
-        # half classic-xref, half PDF 1.5 xref-stream + object-stream files
-        return "pdf_xrefstream" if doc_id % 20 == 16 else "pdf_plain"
+        # classic-xref, PDF 1.5 xref-stream, and RC4-encrypted files
+        if doc_id % 40 == 16:
+            return "pdf_xrefstream"
+        if doc_id % 40 == 36:
+            return "pdf_encrypted"
+        return "pdf_plain"
     if m == 7:
         return "pdf_flate"
     if m == 8:

@@ -56,6 +56,7 @@ def test_png_predictors_all_filters():
         assert _png_unpredict(bytes(enc), 4, 1) == raw, ft
 
 
-def test_corpus_mix_includes_xrefstream():
+def test_corpus_mix_includes_modern_variants():
     assert spec.variant_of(16) == "pdf_xrefstream"
+    assert spec.variant_of(36) == "pdf_encrypted"
     assert spec.variant_of(6) == "pdf_plain"
