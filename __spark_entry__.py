@@ -292,6 +292,33 @@ def _q_extract_tables(spark, sf_dir):
     )
 
 
+def _q_event_sessions(spark, sf_dir):
+    """Classic sessionization over the events stream table: a new session
+    starts after a >30-minute gap per user (same lag+cumsum shape as the
+    layout line/word sweeps, on a real timestamped relation)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def _q_events_windowed(spark, sf_dir):
     """Event-time tumbling-window aggregation (batch twin of the
     Structured Streaming path in streaming/windowed.py)."""
@@ -369,6 +396,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_line_texts": _q_pdf_line_texts,
         "word_bboxes": _q_word_bboxes,
         "events_windowed_agg": _q_events_windowed,
+        "event_sessionize": _q_event_sessions,
     }
 
 
@@ -562,6 +590,24 @@ FROM worded WHERE text <> ' '
 GROUP BY url, page_no, line_id, word_id
 """,
         "events_windowed_agg": _events_windowed_oracle(),
+        "event_sessionize": """
+WITH gapped AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 3) AS sum_value
+FROM sess GROUP BY user_id, session_id
+""",
     }
 
 
