@@ -22,13 +22,15 @@ from .kernel.pdfparse import PDFDocument
 class Page:
     """Mirrors the reference Page interface (interfaces.go:26-65)."""
 
-    def __init__(self, number: int, mediabox, chars, edges, rects, curves):
+    def __init__(self, number: int, mediabox, chars, edges, rects, curves,
+                 rotation: int = 0):
         self.number = number
         self.mediabox = mediabox
         self.chars = chars
         self.edges = edges
         self.rects = rects
         self.curves = curves
+        self.rotation = rotation
 
     # -- dims ------------------------------------------------------------
     @property
@@ -114,7 +116,8 @@ def open_bytes(raw: bytes, password: bytes = b"") -> Document:
         for page_no, mediabox, interp in parse_pdf_objects(raw, doc=doc):
             pages.append(
                 Page(page_no, mediabox, interp.chars, interp.edges,
-                     interp.rects, interp.curves)
+                     interp.rects, interp.curves,
+                     rotation=doc.pages[page_no - 1].rotate)
             )
         return Document(pages, meta, "pdf")
     text = extract_html_text(raw)
