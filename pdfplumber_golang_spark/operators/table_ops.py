@@ -7,9 +7,8 @@ range/interval join realized as a per-page equi-join plus range predicate
 (the page key bounds the join fan-out; cells-per-page and chars-per-page
 are small constants, so the "bin" IS the page).
 
-Limitations vs the kernel (documented): one lattice region per page (no
-30pt group split — the relational flow targets ruled full-grid pages), no
-text-based fallback. Use the kernel path for the general case.
+Limitation vs the kernel (documented): no text-based fallback (T12). Use
+the kernel path for ruling-free pages.
 """
 
 from __future__ import annotations
@@ -22,10 +21,13 @@ from .layout_ops import classify_orientation
 
 SNAP_TOL = 3.0
 TEXT_TOL = 3.0
+GROUP_GAP = 30.0
 
 
 def _cuts(edges: DataFrame, orientation: str) -> DataFrame:
-    """T5: distinct snapped axis positions → consecutive (lo, hi) bands."""
+    """T4+T5: distinct snapped axis positions → 30pt-gap position groups
+    (the T4 region split, as a lag+cumsum sessionize) → consecutive
+    (lo, hi) bands within each group."""
     pos = F.round(
         (F.col("y0") if orientation == "h" else F.col("x0")) / SNAP_TOL
     ) * SNAP_TOL
@@ -34,31 +36,44 @@ def _cuts(edges: DataFrame, orientation: str) -> DataFrame:
         .select("url", "page_no", pos.alias("pos"))
         .distinct()
     )
-    w = Window.partitionBy("url", "page_no").orderBy("pos")
+    wp = Window.partitionBy("url", "page_no").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(wp)
+    new_grp = F.when(gap.isNull() | (gap > GROUP_GAP), 1).otherwise(0)
+    grouped = distinct.withColumn(
+        "grp", F.sum(new_grp).over(wp.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    wg = Window.partitionBy("url", "page_no", "grp").orderBy("pos")
     return (
-        distinct.withColumn("next_pos", F.lead("pos").over(w))
+        grouped.withColumn("next_pos", F.lead("pos").over(wg))
         .where(F.col("next_pos").isNotNull())
-        .withColumn("band_no", F.row_number().over(w) - 1)
+        .withColumn("band_no", F.row_number().over(wg) - 1)
     )
 
 
 def lattice_cells(edges: DataFrame) -> DataFrame:
-    """T2+T5: edges → cell grid (url, page_no, row_no, col_no, bounds).
+    """T2+T4+T5: edges → cell grids (url, page_no, table_no, row_no,
+    col_no, bounds), one table per (h-group × v-group) pair with >= 1 band
+    on each axis (findTableRegions, table_extractor.go:159-186).
 
     row_no ascends with PDF y (bottom-to-top), matching the kernel/reference
     cell ordering (table_extractor.go:254-276)."""
     e = classify_orientation(edges, SNAP_TOL)
     hbands = _cuts(e, "h").select(
         "url", "page_no",
+        F.col("grp").alias("h_grp"),
         F.col("band_no").alias("row_no"),
         F.col("pos").alias("y_lo"), F.col("next_pos").alias("y_hi"),
     )
     vbands = _cuts(e, "v").select(
         "url", "page_no",
+        F.col("grp").alias("v_grp"),
         F.col("band_no").alias("col_no"),
         F.col("pos").alias("x_lo"), F.col("next_pos").alias("x_hi"),
     )
-    return hbands.join(vbands, ["url", "page_no"])
+    cells = hbands.join(vbands, ["url", "page_no"])
+    # table_no: dense rank of the (h_grp, v_grp) pair per page
+    wt = Window.partitionBy("url", "page_no").orderBy("h_grp", "v_grp")
+    return cells.withColumn("table_no", F.dense_rank().over(wt) - 1)
 
 
 def fill_cells(cells: DataFrame, chars: DataFrame) -> DataFrame:
@@ -77,9 +92,9 @@ def fill_cells(cells: DataFrame, chars: DataFrame) -> DataFrame:
         (F.col("cx") >= F.col("x_lo")) & (F.col("cx") <= F.col("x_hi"))
         & (F.col("cy") >= F.col("y_lo")) & (F.col("cy") <= F.col("y_hi"))
     )
-    w = Window.partitionBy("url", "page_no", "row_no", "col_no").orderBy(
-        "cy0", "cx0", "char_idx"
-    )
+    w = Window.partitionBy(
+        "url", "page_no", "table_no", "row_no", "col_no"
+    ).orderBy("cy0", "cx0", "char_idx")
     y_jump = F.abs(F.col("cy0") - F.lag("cy0").over(w)) > TEXT_TOL
     x_gap = (F.col("cx0") - F.lag("cx1").over(w)) > TEXT_TOL
     piece = (
@@ -90,7 +105,7 @@ def fill_cells(cells: DataFrame, chars: DataFrame) -> DataFrame:
     )
     filled = (
         joined.withColumn("piece", piece)
-        .groupBy("url", "page_no", "row_no", "col_no")
+        .groupBy("url", "page_no", "table_no", "row_no", "col_no")
         .agg(
             F.concat_ws(
                 "",
@@ -104,9 +119,10 @@ def fill_cells(cells: DataFrame, chars: DataFrame) -> DataFrame:
         )
     )
     # empty cells must still appear (left join back onto the full grid)
+    keys = ["url", "page_no", "table_no", "row_no", "col_no"]
     return (
-        cells.select("url", "page_no", "row_no", "col_no")
-        .join(filled, ["url", "page_no", "row_no", "col_no"], "left")
+        cells.select(*keys)
+        .join(filled, keys, "left")
         .fillna("", ["cell_text"])
     )
 

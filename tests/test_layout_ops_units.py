@@ -41,6 +41,39 @@ def test_table_candidate_filter(spark):
     assert len(out) == 1 and out[0].y0 == 100.0
 
 
+def test_relational_lattice_multi_region(spark):
+    """Two separated grids on one page -> two tables (T4 group split as a
+    window sessionize in the relational path)."""
+    from pdfplumber_golang_spark.operators.table_ops import lattice_cells
+
+    rows = []
+    # grid A: y 400..352, x 72..128 (2x2 cells); grid B: y 200..176, x 300..328
+    for y in (400.0, 376.0, 352.0):
+        rows.append(("u", 1, 72.0, y, 128.0, y, 1.0))
+    for x in (72.0, 100.0, 128.0):
+        rows.append(("u", 1, x, 352.0, x, 400.0, 1.0))
+    for y in (200.0, 176.0):
+        rows.append(("u", 1, 300.0, y, 328.0, y, 1.0))
+    for x in (300.0, 328.0):
+        rows.append(("u", 1, x, 176.0, x, 200.0, 1.0))
+    edges = spark.createDataFrame(
+        rows, ["url", "page_no", "x0", "y0", "x1", "y1", "width"]
+    )
+    cells = lattice_cells(edges).toPandas()
+    by_table = cells.groupby("table_no").size().to_dict()
+    # faithful reference semantics (findTableRegions): every h-group x
+    # v-group pair forms a region, including the two cross "ghost" pairs —
+    # 2x2 and 1x1 real grids plus 2x1 and 1x2 ghosts
+    assert len(by_table) == 4
+    assert sorted(by_table.values()) == [1, 2, 2, 4]
+    # kernel path produces the same region count on the same edges
+    from pdfplumber_golang_spark.kernel.tables import extract_tables
+
+    ek = [(r.x0, r.y0, r.x1, r.y1, r.width) for r in edges.collect()]
+    tabs = extract_tables([], ek, [])
+    assert len(tabs) == 4
+
+
 def test_row_rectangle_table_path():
     # 4 full-width stacked row rects + 2-column char layout -> T7 path
     chars = []
