@@ -120,6 +120,47 @@ class Interpreter:
 
     # ------------------------------------------------------------ main ---
     def run(self, stream: bytes) -> None:
+        """Interpret a content stream. Fast path: one regex scan
+        (lexer.content_tokens) when no inline images are present; streams
+        with BI/ID binary sections use the stateful Lexer (seekable)."""
+        if b"BI" in stream:
+            return self._run_lexer(stream)
+        operands: list = []
+        dispatch = _OPS
+        depth_skip = 0
+        arr: list | None = None
+        for kind, val in lx.content_tokens(stream):
+            if depth_skip:  # inside an inline dict (BDC/DP properties)
+                if kind == lx.DICT_OPEN:
+                    depth_skip += 1
+                elif kind == lx.DICT_CLOSE:
+                    depth_skip -= 1
+                    if depth_skip == 0:
+                        operands.append(None)
+                continue
+            if arr is not None:
+                if kind == lx.ARRAY_CLOSE:
+                    operands.append(arr)
+                    arr = None
+                else:
+                    arr.append(val)
+                continue
+            if kind == lx.NUM or kind == lx.STRING or kind == lx.NAME:
+                operands.append(val)
+            elif kind == lx.ARRAY_OPEN:
+                arr = []
+            elif kind == lx.DICT_OPEN:
+                depth_skip = 1
+            elif kind == lx.KEYWORD:
+                handler = dispatch.get(val)
+                if handler is not None:
+                    try:
+                        handler(self, operands)
+                    except (IndexError, TypeError, ValueError):
+                        pass
+                operands.clear()
+
+    def _run_lexer(self, stream: bytes) -> None:
         lex = lx.Lexer(stream)
         operands: list = []
         while True:

@@ -231,3 +231,95 @@ class Lexer:
             j = i + 1
         self.pos = j
         return Token(KEYWORD, data[i:j].decode("latin-1"))
+
+
+import re as _re
+
+#: one C-level scan per content stream: numbers, names, hex strings, simple
+#: literal strings (no escapes/nesting), array/dict delimiters, operators.
+#: Complex literal strings fall back to the stateful Lexer.
+_CONTENT_RE = _re.compile(
+    rb"(?P<num>[-+]?(?:\d+\.?\d*|\.\d+))"
+    rb"|/(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<sstr>\([^()\\]*\))"
+    rb"|<(?P<hex>[0-9A-Fa-f \t\r\n]*)>"
+    rb"|(?P<delim><<|>>|[\[\]{}])"
+    rb"|(?P<op>[A-Za-z'\"][A-Za-z0-9'\"*]*)"
+    rb"|(?P<comment>%[^\r\n]*)"
+    rb"|(?P<ws>[\x00\t\n\x0c\r ]+)"
+    rb"|(?P<other>.)",
+    _re.S,
+)
+
+
+def content_tokens(data: bytes):
+    """Fast content-stream token generator (same token vocabulary as
+    Lexer.next, ~2x less Python overhead). Yields (kind, value)."""
+    pos = 0
+    n = len(data)
+    scanner = _CONTENT_RE.finditer(data)
+    for m in scanner:
+        if m.start() < pos:
+            continue  # region consumed by a slow-path Lexer excursion
+        g = m.lastgroup
+        if g == "ws" or g == "comment":
+            continue
+        if g == "num":
+            raw = m.group("num")
+            if b"." in raw:
+                yield NUM, float(raw)
+            else:
+                try:
+                    yield NUM, int(raw)
+                except ValueError:
+                    yield NUM, 0
+            continue
+        if g == "op":
+            yield KEYWORD, m.group("op").decode("latin-1")
+            continue
+        if g == "name":
+            raw = m.group("name")
+            if b"#" in raw:  # rare: defer to the full name reader
+                lex = Lexer(data, m.start())
+                t = lex.next()
+                yield t.kind, t.val
+                pos = lex.pos
+                continue
+            yield NAME, raw.decode("latin-1")
+            continue
+        if g == "sstr":
+            yield STRING, m.group("sstr")[1:-1]
+            continue
+        if g == "hex":
+            h = bytes(
+                c for c in m.group("hex")
+                if c not in b" \t\r\n"
+            )
+            if len(h) % 2:
+                h += b"0"
+            yield STRING, bytes.fromhex(h.decode("ascii"))
+            continue
+        if g == "delim":
+            d = m.group("delim")
+            if d == b"[":
+                yield ARRAY_OPEN, None
+            elif d == b"]":
+                yield ARRAY_CLOSE, None
+            elif d == b"<<":
+                yield DICT_OPEN, None
+            elif d == b">>":
+                yield DICT_CLOSE, None
+            else:
+                yield KEYWORD, d.decode("latin-1")
+            continue
+        # 'other': complex literal string or stray byte -> stateful Lexer
+        if data[m.start()] == 0x28:  # '('
+            lex = Lexer(data, m.start())
+            t = lex.next()
+            yield t.kind, t.val
+            pos = lex.pos
+            continue
+        # stray delimiter byte: emit as keyword (parity with Lexer)
+        yield KEYWORD, data[m.start() : m.start() + 1].decode("latin-1")
+
+
