@@ -10,6 +10,8 @@ from pdfplumber_golang_spark.kernel.pdfwrite import build_pdf
 
 BASE_PDF, _ = build_pdf(3, "some sample body text for fuzzing " * 6, "pdf_plain")
 BASE_FLATE, _ = build_pdf(3, "compressed body text " * 8, "pdf_flate")
+BASE_XREFSTM, _ = build_pdf(3, "xref stream body " * 8, "pdf_xrefstream")
+BASE_ENC, _ = build_pdf(3, "encrypted body " * 8, "pdf_encrypted")
 
 
 @settings(max_examples=120, deadline=None)
@@ -42,6 +44,25 @@ def test_single_byte_corruption_never_crashes(pos, byte):
 def test_truncation_never_crashes(cut):
     pages, err = extract_document("u", BASE_FLATE[:cut])
     assert isinstance(pages, list)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    base=st.sampled_from(["xrefstm", "enc"]),
+    pos=st.integers(min_value=0, max_value=900),
+    byte=st.integers(min_value=0, max_value=255),
+)
+def test_modern_variant_corruption_never_crashes(base, pos, byte):
+    """xref-stream and encrypted files: corruption in predictors, object
+    streams, or crypto material must become error rows, never crashes."""
+    data = BASE_XREFSTM if base == "xrefstm" else BASE_ENC
+    pos = pos % len(data)
+    corrupted = data[:pos] + bytes([byte]) + data[pos + 1 :]
+    pages, err = extract_document("u", corrupted)
+    assert isinstance(pages, list)
+    if err is None:
+        for p in pages:
+            assert isinstance(p.text, str)
 
 
 def test_pathological_structures():
