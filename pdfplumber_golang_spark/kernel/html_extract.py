@@ -201,6 +201,20 @@ def extract_html_text(raw: bytes | str) -> str:
         if tag in _BLOCK_TAGS:
             flush()
         if not closing:
+            # HTMLParser fires handle_startendtag (= start + immediate end,
+            # net zero state) only when, after the attributes, the remainder
+            # is exactly "/>" — i.e. the "/" follows whitespace, a quote, or
+            # nothing.  "<a href=x/>" is a START tag there (the "/" belongs
+            # to the unquoted attribute value), so mirror that exactly.
+            s3 = m.group(3)
+            selfclosing = s3.endswith("/") and (
+                len(s3) == 1 or s3[-2] in ' \t\n\r\f"\''
+            )
+            if selfclosing:
+                # start+end with no content: no link_depth / stack / cdata
+                # effect (and <script/> does NOT enter raw-text mode in
+                # HTMLParser either).
+                continue
             if tag == "a":
                 link_depth += 1
             if tag in ("script", "style"):
@@ -208,7 +222,7 @@ def extract_html_text(raw: bytes | str) -> str:
                 em = _RAWTEXT_END[tag].search(raw, pos)
                 pos = em.end() if em else n
                 continue
-            if tag not in _VOID and not m.group(3).rstrip().endswith("/"):
+            if tag not in _VOID:
                 stack.append(tag)
                 if tag in _BOILERPLATE_ANCESTORS:
                     boiler_depth += 1

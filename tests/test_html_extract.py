@@ -57,6 +57,16 @@ def test_fast_scanner_parity_with_reference_parser():
         b"<script>var x = '<p>not text</p>';</script><p>real body text</p>",
         b"<br/><p/>self closing <p>kept paragraph</p>",
         b"<!-- <p>comment</p> --><p>after comment</p>",
+        # self-closing anchors: start+end in HTMLParser, must NOT leak
+        # link_depth (ADVICE r1: fast path dropped everything after <a/>)
+        b"<p>before <a/> plain text after the self-closing anchor stays</p>",
+        b"<p>x <a href='y'/> plenty of plain words keep this block alive</p>",
+        b'<p>x <a href="y" /> plenty of plain words keep this block alive</p>',
+        # unquoted attr value ending in '/': HTMLParser treats as START tag
+        b"<p><a href=x/>linklinklink</a> tail words enough to pass filter</p>",
+        # self-closing script must not swallow following text as raw-text
+        b"<script/><p>content after a self-closing script element</p>",
+        b"<nav/><p>content after a self-closing nav element is kept</p>",
         b"<P>UPPER</P>",
         b"<style>p { color: red }</style><p>visible words</p>",
         b"",
