@@ -384,6 +384,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_analysis.fingerprint,
         "text_fingerprint_rolling": text_analysis.fingerprint_rolling,
         "dedup_embedding_cosine": ann.embedding_cosine_dups,
+        "dedup_embedding_lsh": ann.dedup_embedding_lsh,
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
         "media_features": multimodal.media_features_q,
@@ -491,6 +492,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "text_fingerprint": text_analysis.fingerprint_oracle(),
         "text_fingerprint_rolling": text_analysis.fingerprint_rolling_oracle(),
         "dedup_embedding_cosine": ann.embedding_cosine_dups_oracle(),
+        "dedup_embedding_lsh": ann.dedup_embedding_lsh_oracle(),
         "ann_bruteforce": ann.ann_bruteforce_oracle(),
         "ann_lsh": ann.ann_lsh_oracle(),
         "media_features": multimodal.media_features_oracle(),
