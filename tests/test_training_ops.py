@@ -67,14 +67,46 @@ def test_ann_lsh_is_subset_quality(spark):
             assert abs(bf_scores[(q, n)] - c) < 1e-9
 
 
-def test_media_features_stub(spark):
+def test_media_features_real_header_parse(spark):
     from pdfplumber_golang_spark.functions import multimodal
 
     out = multimodal.media_features_q(spark, SF_DIR).toPandas()
     assert len(out) == 500
-    assert (out["fake_width"] == out["n_bytes"] % 640).all()
+    assert set(out["media_type"]) == {"image/png", "image/gif", "image/jpeg"}
+    assert out["width"].between(1, 64).all()
+    assert out["height"].between(1, 48).all()
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(b"x")
+        multimodal.decode_pixels(b"x")
+
+
+def test_parse_image_hand_built_bytes():
+    """Header parsers against hand-built container bytes (VERDICT r1 #2)."""
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    assert mm.parse_image(mm.png_bytes(640, 480)) == ("image/png", 640, 480)
+    assert mm.parse_image(mm.gif_bytes(13, 7)) == ("image/gif", 13, 7)
+    assert mm.parse_image(mm.jpeg_bytes(1920, 1080)) == ("image/jpeg", 1920, 1080)
+    # closed-form lengths the oracle relies on
+    assert len(mm.png_bytes(10, 5)) == 68 + 5 * 11
+    assert len(mm.gif_bytes(3, 3)) == 14
+    assert len(mm.jpeg_bytes(3, 3)) == 33
+    # PNG decodes with the real zlib (stored-block stream is valid)
+    import struct
+    import zlib
+
+    png = mm.png_bytes(4, 3)
+    idat = png[8 + 25 + 8 : -12 - 4]  # IDAT payload
+    assert len(zlib.decompress(idat)) == 3 * 5
+    # BMP, incl. top-down (negative height) DIBs
+    bmp = b"BM" + bytes(16) + struct.pack("<ii", 20, -9) + bytes(20)
+    assert mm.parse_image(bmp) == ("image/bmp", 20, 9)
+    # JPEG with a restart marker before SOF0 still parses
+    jpg = b"\xff\xd8\xff\xd0" + mm.jpeg_bytes(8, 6)[2:]
+    assert mm.parse_image(jpg) == ("image/jpeg", 8, 6)
+    # garbage / truncated inputs degrade, never raise
+    for junk in (b"", b"\x89PNG", b"\xff\xd8\xff", b"GIF89a\x01", b"hello"):
+        mt, w, h = mm.parse_image(junk)
+        assert (w is None) == (h is None)
 
 
 def test_embedding_lsh_plan_has_no_cartesian_product(spark):
