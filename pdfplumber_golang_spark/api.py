@@ -48,8 +48,29 @@ class Page:
     def extract_words(self, x_tolerance=spec.X_TOLERANCE, y_tolerance=spec.Y_TOLERANCE) -> list[dict]:
         return layout.extract_words(self.chars, x_tolerance, y_tolerance)
 
-    def extract_tables(self) -> list[dict]:
-        return tables.extract_tables(self.chars, self.edges, self.rects)
+    def extract_tables(
+        self,
+        vertical_strategy: str = "lines",
+        horizontal_strategy: str = "lines",
+        min_table_size: int = tables.MIN_TABLE_SIZE,
+        text_tolerance: float = tables.TEXT_TOL,
+        snap_tolerance: float = tables.SNAP_TOL,
+        join_tolerance: float = 3.0,
+    ) -> list[dict]:
+        """Option surface = the reference's WithTableStrategy("lines"|"text")
+        / WithMinTableSize / WithTextTolerance (types.go:366-393) plus the
+        constructor tolerances (table_extractor.go:40-44)."""
+        return tables.extract_tables(
+            self.chars,
+            self.edges,
+            self.rects,
+            vertical_strategy=vertical_strategy,
+            horizontal_strategy=horizontal_strategy,
+            min_table_size=min_table_size,
+            text_tolerance=text_tolerance,
+            snap_tolerance=snap_tolerance,
+            join_tolerance=join_tolerance,
+        )
 
     # -- geometric ops (G1-G3) --------------------------------------------
     def crop(self, bbox: tuple[float, float, float, float]) -> "Page":

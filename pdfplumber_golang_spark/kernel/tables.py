@@ -32,14 +32,14 @@ MIN_TABLE_SIZE = 3
 _TEXT, _FONT, _SIZE, _X0, _Y0, _X1, _Y1, _W, _H = range(9)
 
 
-def classify_lines(edges: list[tuple]) -> tuple[list, list]:
+def classify_lines(edges: list[tuple], snap_tolerance: float = SNAP_TOL) -> tuple[list, list]:
     """T2: (h_lines, v_lines) by |Δ| < snap tolerance."""
     h, v = [], []
     for e in edges:
         x0, y0, x1, y1 = e[0], e[1], e[2], e[3]
-        if abs(y1 - y0) < SNAP_TOL:
+        if abs(y1 - y0) < snap_tolerance:
             h.append(e)
-        elif abs(x1 - x0) < SNAP_TOL:
+        elif abs(x1 - x0) < snap_tolerance:
             v.append(e)
     return h, v
 
@@ -75,16 +75,17 @@ def group_lines(lines: list, horizontal: bool) -> list[list]:
     return groups
 
 
-def unique_positions(lines: list, horizontal: bool) -> list[float]:
+def unique_positions(lines: list, horizontal: bool, snap_tolerance: float = SNAP_TOL) -> list[float]:
     """T5: snapped unique positions (round(pos/snap)*snap)."""
     pos = set()
     for e in lines:
         p = e[1] if horizontal else e[0]
-        pos.add(round(p / SNAP_TOL) * SNAP_TOL)
+        pos.add(round(p / snap_tolerance) * snap_tolerance)
     return sorted(pos)
 
 
-def cell_text(cell: tuple[float, float, float, float], chars: list) -> str:
+def cell_text(cell: tuple[float, float, float, float], chars: list,
+              text_tolerance: float = TEXT_TOL) -> str:
     """T6: chars whose center lies within the cell, reading order within."""
     cx0, cy0, cx1, cy1 = cell
     members = [
@@ -98,31 +99,62 @@ def cell_text(cell: tuple[float, float, float, float], chars: list) -> str:
     out: list[str] = []
     last_y, last_x = -1000.0, -1000.0
     for ch in members:
-        if last_y > 0 and abs(ch[_Y0] - last_y) > TEXT_TOL:
+        if last_y > 0 and abs(ch[_Y0] - last_y) > text_tolerance:
             out.append("\n")
             last_x = -1000.0
-        elif last_x > 0 and ch[_X0] - last_x > TEXT_TOL:
+        elif last_x > 0 and ch[_X0] - last_x > text_tolerance:
             out.append(" ")
         out.append(ch[_TEXT])
         last_y, last_x = ch[_Y0], ch[_X1]
     return "".join(out)
 
 
-def extract_tables(chars: list, edges: list, rects: list) -> list[dict]:
-    """T1 dispatch. Returns [{'rows': [[str]], 'bbox': (x0,y0,x1,y1)}]."""
-    # T7: row-rectangle path first when enough rects exist
-    # (extractLineBasedTables, table_extractor.go:76-88)
-    if len(rects) > MIN_TABLE_SIZE:
-        t = _row_rectangle_table(chars, rects)
-        if t is not None and len(t["rows"]) >= MIN_TABLE_SIZE:
-            return [t]
-    tables = _line_based(chars, edges, rects)
+def extract_tables(
+    chars: list,
+    edges: list,
+    rects: list,
+    *,
+    vertical_strategy: str = "lines",
+    horizontal_strategy: str = "lines",
+    min_table_size: int = MIN_TABLE_SIZE,
+    text_tolerance: float = TEXT_TOL,
+    snap_tolerance: float = SNAP_TOL,
+    join_tolerance: float = 3.0,
+) -> list[dict]:
+    """T1 dispatch. Returns [{'rows': [[str]], 'bbox': (x0,y0,x1,y1)}].
+
+    Option surface mirrors the reference (WithTableStrategy /
+    WithMinTableSize / WithTextTolerance, types.go:366-393; constructor
+    defaults table_extractor.go:22-46).  Strategies: the line-based pass
+    runs iff either strategy is "lines" (ExtractTables, :55-61); the
+    text-based pass always backstops an empty result (:64-69) — so
+    ("text", "text") goes straight to T12.  ``join_tolerance`` is accepted
+    for parity but, exactly as in the reference, no computation consumes
+    it (declared :17, default :43, never read).
+    """
+    del join_tolerance  # parity-only, dead in the reference too
+    tables: list[dict] = []
+    if vertical_strategy == "lines" or horizontal_strategy == "lines":
+        # T7: row-rectangle path first when enough rects exist
+        # (extractLineBasedTables, table_extractor.go:76-88)
+        if len(rects) > min_table_size:
+            t = _row_rectangle_table(chars, rects, min_table_size, snap_tolerance)
+            if t is not None and len(t["rows"]) >= min_table_size:
+                return [t]
+        tables = _line_based(
+            chars, edges, rects, min_table_size, text_tolerance, snap_tolerance
+        )
     if not tables:
-        tables = _text_based(chars)
+        tables = _text_based(chars, min_table_size, text_tolerance, snap_tolerance)
     return tables
 
 
-def _row_rectangle_table(chars: list, rects: list) -> dict | None:
+def _row_rectangle_table(
+    chars: list,
+    rects: list,
+    min_table_size: int = MIN_TABLE_SIZE,
+    snap_tolerance: float = SNAP_TOL,
+) -> dict | None:
     """T7: aligned stacked rects (same x0/x1 within snap) form table rows;
     each rect's chars are distributed over text-derived columns
     (extractTableFromRowRectangles, table_extractor.go:510-586; column
@@ -131,10 +163,13 @@ def _row_rectangle_table(chars: list, rects: list) -> dict | None:
 
     groups: dict[tuple[float, float], list] = {}
     for r in rects:
-        key = (round(r[0] / SNAP_TOL) * SNAP_TOL, round(r[2] / SNAP_TOL) * SNAP_TOL)
+        key = (
+            round(r[0] / snap_tolerance) * snap_tolerance,
+            round(r[2] / snap_tolerance) * snap_tolerance,
+        )
         groups.setdefault(key, []).append(r)
     aligned = max(groups.values(), key=len)
-    if len(aligned) < MIN_TABLE_SIZE:
+    if len(aligned) < min_table_size:
         return None
     aligned.sort(key=lambda r: -r[3])  # Y1 descending (top row first)
     # T8: column x-positions from snapped WORD-start x0 histogram (count >=
@@ -143,7 +178,9 @@ def _row_rectangle_table(chars: list, rects: list) -> dict | None:
     # one column per character for grid-aligned text; word starts are what
     # its own text-based path T12 uses (findAlignedColumnsFromWords).
     words = layout.extract_words(chars)
-    counts = Counter(round(w["x0"] / SNAP_TOL) * SNAP_TOL for w in words)
+    counts = Counter(
+        round(w["x0"] / snap_tolerance) * snap_tolerance for w in words
+    )
     cols = sorted(p for p, n in counts.items() if n >= 3)
     if len(cols) < 2:
         return None
@@ -153,12 +190,12 @@ def _row_rectangle_table(chars: list, rects: list) -> dict | None:
         members = [c for c in chars if y0 <= (c[_Y0] + c[_Y1]) / 2 <= y1]
         row = [""] * len(cols)
         for ch in sorted(members, key=lambda c: c[_X0]):
-            ci = _find_column(ch[_X0], cols)
+            ci = _find_column(ch[_X0], cols, snap_tolerance)
             if ci is not None:
                 row[ci] += ch[_TEXT]
         rows.append([cell.strip() for cell in row])
     rows, cols_kept = _prune_empty_columns(rows)
-    if not rows or len(rows) < MIN_TABLE_SIZE:
+    if not rows or len(rows) < min_table_size:
         return None
     x0 = min(r[0] for r in aligned)
     y0 = min(r[1] for r in aligned)
@@ -167,12 +204,14 @@ def _row_rectangle_table(chars: list, rects: list) -> dict | None:
     return {"rows": rows, "bbox": (x0, y0, x1, y1)}
 
 
-def _find_column(x: float, cols: list[float]) -> int | None:
+def _find_column(
+    x: float, cols: list[float], snap_tolerance: float = SNAP_TOL
+) -> int | None:
     """T9: first column whose [col, next_col) brackets x
     (findColumnIndex, table_extractor.go:642-658)."""
     for i, c in enumerate(cols):
         hi = cols[i + 1] if i + 1 < len(cols) else float("inf")
-        if c - SNAP_TOL <= x < hi:
+        if c - snap_tolerance <= x < hi:
             return i
     return None
 
@@ -189,8 +228,15 @@ def _prune_empty_columns(rows: list[list[str]]) -> tuple[list[list[str]], list[i
     return [[r[j] for j in keep] for r in rows], keep
 
 
-def _line_based(chars: list, edges: list, rects: list) -> list[dict]:
-    h, v = classify_lines(edges)
+def _line_based(
+    chars: list,
+    edges: list,
+    rects: list,
+    min_table_size: int = MIN_TABLE_SIZE,
+    text_tolerance: float = TEXT_TOL,
+    snap_tolerance: float = SNAP_TOL,
+) -> list[dict]:
+    h, v = classify_lines(edges, snap_tolerance)
     rh, rv = rects_to_edges(rects)
     h, v = h + rh, v + rv
     tables = []
@@ -198,8 +244,8 @@ def _line_based(chars: list, edges: list, rects: list) -> list[dict]:
         for vg in group_lines(v, horizontal=False):
             if len(hg) < 2 or len(vg) < 2:
                 continue
-            hpos = unique_positions(hg, horizontal=True)
-            vpos = unique_positions(vg, horizontal=False)
+            hpos = unique_positions(hg, horizontal=True, snap_tolerance=snap_tolerance)
+            vpos = unique_positions(vg, horizontal=False, snap_tolerance=snap_tolerance)
             if len(hpos) < 2 or len(vpos) < 2:
                 continue
             rows = []
@@ -207,9 +253,16 @@ def _line_based(chars: list, edges: list, rects: list) -> list[dict]:
                 row = []
                 for j in range(len(vpos) - 1):
                     row.append(
-                        cell_text((vpos[j], hpos[i], vpos[j + 1], hpos[i + 1]), chars)
+                        cell_text(
+                            (vpos[j], hpos[i], vpos[j + 1], hpos[i + 1]),
+                            chars,
+                            text_tolerance,
+                        )
                     )
                 rows.append(row)
+            # rows >= minTableSize gate (table_extractor.go:118)
+            if len(rows) < min_table_size:
+                continue
             tables.append(
                 {
                     "rows": rows,
@@ -219,7 +272,12 @@ def _line_based(chars: list, edges: list, rects: list) -> list[dict]:
     return tables
 
 
-def _text_based(chars: list) -> list[dict]:
+def _text_based(
+    chars: list,
+    min_table_size: int = MIN_TABLE_SIZE,
+    text_tolerance: float = TEXT_TOL,
+    snap_tolerance: float = SNAP_TOL,
+) -> list[dict]:
     """T12: word lines → column histogram → nearest-column assignment."""
     words = layout.extract_words(chars)
     if not words:
@@ -230,7 +288,7 @@ def _text_based(chars: list) -> list[dict]:
     cur: list[dict] = []
     anchor = words[0]["y0"]
     for wd in words:
-        if abs(wd["y0"] - anchor) > TEXT_TOL:
+        if abs(wd["y0"] - anchor) > text_tolerance:
             if cur:
                 lines.append(cur)
             cur = [wd]
@@ -239,14 +297,14 @@ def _text_based(chars: list) -> list[dict]:
             cur.append(wd)
     if cur:
         lines.append(cur)
-    if len(lines) < MIN_TABLE_SIZE:
+    if len(lines) < min_table_size:
         return []
     # column positions: snapped word x0 appearing in >= max(2, 30% of lines)
     from collections import Counter
 
     counts = Counter()
     for ln in lines:
-        seen = {round(wd["x0"] / SNAP_TOL) * SNAP_TOL for wd in ln}
+        seen = {round(wd["x0"] / snap_tolerance) * snap_tolerance for wd in ln}
         counts.update(seen)
     need = max(2, int(0.3 * len(lines)))
     cols = sorted(p for p, c in counts.items() if c >= need)
@@ -256,8 +314,9 @@ def _text_based(chars: list) -> list[dict]:
     for ln in lines:
         row = [""] * len(cols)
         for wd in sorted(ln, key=lambda w: w["x0"]):
-            # nearest column within 3*snap
-            best, bestd = None, 3 * SNAP_TOL + 1
+            # nearest column, strictly within 3*snap
+            # (dist < te.snapTolerance*3, table_extractor.go:879)
+            best, bestd = None, 3 * snap_tolerance
             for ci, cx in enumerate(cols):
                 d = abs(wd["x0"] - cx)
                 if d < bestd:
@@ -266,7 +325,7 @@ def _text_based(chars: list) -> list[dict]:
                 continue
             row[best] = (row[best] + " " + wd["text"]).strip()
         rows.append(row)
-    if len(rows) < MIN_TABLE_SIZE:
+    if len(rows) < min_table_size:
         return []
     x0 = min(w["x0"] for w in words)
     y0 = min(w["y0"] for w in words)

@@ -164,7 +164,9 @@ def extract_chars(
     )
 
 
-def _table_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _table_batches(
+    it: Iterator[pd.DataFrame], **table_opts
+) -> Iterator[pd.DataFrame]:
     from .kernel.extract import parse_pdf_objects
     from .kernel.tables import extract_tables as kernel_tables
 
@@ -177,7 +179,9 @@ def _table_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             try:
                 for page_no, _mb, interp in parse_pdf_objects(raw):
-                    tabs = kernel_tables(interp.chars, interp.edges, interp.rects)
+                    tabs = kernel_tables(
+                        interp.chars, interp.edges, interp.rects, **table_opts
+                    )
                     for tno, tab in enumerate(tabs):
                         for rno, row in enumerate(tab["rows"]):
                             for cno, cell in enumerate(row):
@@ -193,11 +197,19 @@ def _table_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_tables_df(
-    pages: DataFrame, parallelism: int = 32, salt: bool = False
+    pages: DataFrame, parallelism: int = 32, salt: bool = False, **table_opts
 ) -> DataFrame:
-    """pages table → flattened table cells (SURVEY §2.7)."""
+    """pages table → flattened table cells (SURVEY §2.7). ``table_opts``
+    are the kernel extract_tables options (vertical_strategy=,
+    horizontal_strategy=, min_table_size=, text_tolerance=,
+    snap_tolerance=, join_tolerance=) — plan-build-time constants closed
+    over by the Arrow stage, exactly like the reference's functional
+    options (types.go:366-393)."""
+    import functools
+
+    fn = functools.partial(_table_batches, **table_opts)
     return _salted(pages, parallelism, salt).mapInPandas(
-        _table_batches, schema=TABLE_ROWS_SCHEMA
+        fn, schema=TABLE_ROWS_SCHEMA
     )
 
 

@@ -66,12 +66,17 @@ def test_relational_lattice_multi_region(spark):
     # 2x2 and 1x1 real grids plus 2x1 and 1x2 ghosts
     assert len(by_table) == 4
     assert sorted(by_table.values()) == [1, 2, 2, 4]
-    # kernel path produces the same region count on the same edges
+    # kernel path produces the same region count on the same edges once
+    # the rows >= minTableSize gate is lowered out of the way
     from pdfplumber_golang_spark.kernel.tables import extract_tables
 
     ek = [(r.x0, r.y0, r.x1, r.y1, r.width) for r in edges.collect()]
-    tabs = extract_tables([], ek, [])
+    tabs = extract_tables([], ek, [], min_table_size=1)
     assert len(tabs) == 4
+    # at the reference default (minTableSize=3, gate at
+    # table_extractor.go:118) every region here has <= 2 rows -> all
+    # dropped; the dispatch then tries T12, which finds no chars
+    assert extract_tables([], ek, []) == []
 
 
 def test_row_rectangle_table_path():

@@ -67,3 +67,63 @@ def test_text_based_fallback():
 def test_no_table_when_nothing_aligned():
     chars = [("a", "F1", 12.0, 72.0, 700.0, 78.0, 712.0, 6.0, 12.0)]
     assert extract_tables(chars, [], []) == []
+
+
+def test_option_matrix():
+    """Mirror of the reference's option matrix (table_test.go:50-109 via
+    WithTableStrategy / WithMinTableSize / WithTextTolerance), with concrete
+    assertions instead of t.Logf."""
+    interp = _graphics_objects()
+    lat = extract_tables(interp.chars, interp.edges, interp.rects)
+    assert len(lat) == 1 and len(lat[0]["rows"]) == 3
+
+    # ("text", "text") skips the line pass entirely (ExtractTables,
+    # table_extractor.go:55-61) -> T12 over ALL words, not the ruled grid
+    txt = extract_tables(
+        interp.chars, interp.edges, interp.rects,
+        vertical_strategy="text", horizontal_strategy="text",
+    )
+    assert txt != lat
+
+    # min_table_size above the grid's 3 rows rejects the lattice
+    # (rows >= minTableSize gate, table_extractor.go:118)
+    big = extract_tables(
+        interp.chars, interp.edges, interp.rects, min_table_size=4
+    )
+    assert all(len(t["rows"]) >= 4 for t in big)
+    assert lat[0] not in big
+
+    # a text_tolerance comfortably above the grid jitter changes nothing
+    # (cells are single-line)
+    tol = extract_tables(
+        interp.chars, interp.edges, interp.rects, text_tolerance=5.0
+    )
+    assert tol == lat
+
+    # a coarse snap merges the 24pt-spaced rulings -> lattice degenerates
+    coarse = extract_tables(
+        interp.chars, interp.edges, interp.rects, snap_tolerance=30.0
+    )
+    assert coarse != lat
+
+    # join_tolerance is accepted (dead in the reference too) and inert
+    jt = extract_tables(
+        interp.chars, interp.edges, interp.rects, join_tolerance=99.0
+    )
+    assert jt == lat
+
+
+def test_api_page_extract_tables_kwargs():
+    from pdfplumber_golang_spark import api
+
+    data, _ = build_pdf(6, "some body text for the page " * 8, "pdf_graphics")
+    doc = api.open_bytes(data)
+    page = doc.pages[0]
+    assert page.extract_tables() == page.extract_tables(
+        vertical_strategy="lines", horizontal_strategy="lines",
+        min_table_size=3, text_tolerance=3.0, snap_tolerance=3.0,
+        join_tolerance=3.0,
+    )
+    assert page.extract_tables(
+        vertical_strategy="text", horizontal_strategy="text"
+    ) != page.extract_tables()
