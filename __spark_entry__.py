@@ -19,6 +19,8 @@ from pdfplumber_golang_spark.functions import ann, dedup, multimodal, text_analy
 from pdfplumber_golang_spark.operators import layout_ops, synth_rel, table_ops
 from pdfplumber_golang_spark.sources.pagesgen import (
     build_graphics_pages,
+    build_rowrects_pages,
+    build_texttable_pages,
     load_or_build_pages,
 )
 
@@ -292,6 +294,104 @@ def _q_extract_tables(spark, sf_dir):
     )
 
 
+def _q_extract_tables_text(spark, sf_dir):
+    """T12 via the kernel path with the text strategy FORCED (skips the
+    line pass, ExtractTables table_extractor.go:55-61) on a ruling-free
+    corpus — the option-plumbing oracle (VERDICT r1 #3)."""
+    pages = build_texttable_pages(spark, sf_dir)
+    return pipeline.extract_tables_df(
+        pages, vertical_strategy="text", horizontal_strategy="text"
+    ).select(
+        "url",
+        F.col("table_no").cast("long").alias("table_no"),
+        F.col("row_no").cast("long").alias("row_no"),
+        F.col("col_no").cast("long").alias("col_no"),
+        "cell_text",
+    )
+
+
+def _q_extract_tables_text_relational(spark, sf_dir):
+    """T12 as pure DataFrame algebra (table_ops.text_tables) on the same
+    ruling-free corpus — the relational-fallback oracle (VERDICT r1 #4).
+    The lattice path finds nothing here (zero edges), so these cells come
+    entirely from the text-detection fallback."""
+    pages = build_texttable_pages(spark, sf_dir)
+    edges = pipeline.extract_edges(pages)
+    chars = pipeline.extract_chars(pages)
+    return table_ops.extract_tables_relational(edges, chars).select(
+        "url",
+        F.col("table_no").cast("long").alias("table_no"),
+        F.col("row_no").cast("long").alias("row_no"),
+        F.col("col_no").cast("long").alias("col_no"),
+        "cell_text",
+    )
+
+
+def _q_extract_tables_rowrects(spark, sf_dir):
+    """T7 row-rectangle path + T9 column assignment + T10 row fill + T11
+    empty-column pruning, end-to-end on the stacked-rects corpus
+    (extractTableFromRowRectangles, table_extractor.go:510-586)."""
+    pages = build_rowrects_pages(spark, sf_dir)
+    return pipeline.extract_tables_df(pages).select(
+        "url",
+        F.col("table_no").cast("long").alias("table_no"),
+        F.col("row_no").cast("long").alias("row_no"),
+        F.col("col_no").cast("long").alias("col_no"),
+        "cell_text",
+    )
+
+
+_TRAP_EDGES = [
+    # one trap per filter clause (page 612x792):
+    (0.5, 100.0, 0.5, 300.0),      # vertical ON the left border  -> G6 drop
+    (100.0, 791.5, 300.0, 791.5),  # horizontal ON the top border -> G6 drop
+    (580.0, 100.0, 580.0, 300.0),  # right of x_max=575           -> G7 drop
+    (100.0, 10.0, 300.0, 10.0),    # below y_min=20               -> G7 drop
+    (100.0, 100.0, 200.0, 200.0),  # diagonal (not axis-aligned)  -> G7 drop
+]
+
+
+def _q_edge_filter_funnel(spark, sf_dir):
+    """G6 (page-border line filter) -> G7 (content-margin candidate
+    filter) over the synthetic edges relation augmented with one trap edge
+    per filter clause; the grid edges all survive."""
+    edges = synth_rel.edges_rel(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr(spec.SQL_URL).alias("url")
+    )
+    traps = docs.select(
+        "url",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("x0"), F.lit(b).alias("y0"),
+                        F.lit(c).alias("x1"), F.lit(d).alias("y1"),
+                    )
+                    for a, b, c, d in _TRAP_EDGES
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "url",
+        F.lit(1).alias("page_no"),
+        F.col("e.x0").cast("double").alias("x0"),
+        F.col("e.y0").cast("double").alias("y0"),
+        F.col("e.x1").cast("double").alias("x1"),
+        F.col("e.y1").cast("double").alias("y1"),
+        F.lit(1.0).alias("width"),
+        F.lit("line").alias("src"),
+    )
+    all_edges = edges.unionByName(traps)
+    kept = layout_ops.filter_table_candidate_lines(
+        layout_ops.filter_page_border_lines(all_edges, 612.0, 792.0)
+    )
+    return kept.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.round(F.sum(F.col("x0") + F.col("y1")), 3).alias("sum_x0y1"),
+    )
+
+
 def _q_event_sessions(spark, sf_dir):
     """Classic sessionization over the events stream table: a new session
     starts after a >30-minute gap per user (same lag+cumsum shape as the
@@ -389,6 +489,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann.ann_lsh,
         "media_features": multimodal.media_features_q,
         "extract_tables_lattice": _q_extract_tables,
+        "extract_tables_text": _q_extract_tables_text,
+        "extract_tables_rowrects": _q_extract_tables_rowrects,
+        "edge_filter_funnel": _q_edge_filter_funnel,
+        "extract_tables_text_relational": _q_extract_tables_text_relational,
         "extract_tables_relational": _q_extract_tables_relational,
         "crop_filter": _q_crop_filter,
         "y_inversion": _q_y_inversion,
@@ -503,6 +607,62 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
 SELECT {spec.SQL_URL} AS url, CAST(0 AS BIGINT) AS table_no,
        CAST(i AS BIGINT) AS row_no, CAST(j AS BIGINT) AS col_no,
        'c' || CAST(doc_id % 100 AS STRING) || 'r' || CAST(2 - i AS STRING)
+           || 'c' || CAST(j AS STRING) AS cell_text
+FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS i FROM documents
+      WHERE doc_id % 10 = 6),
+     (SELECT unnest(generate_series(0, 2)) AS j)
+""",
+        "extract_tables_rowrects": f"""
+SELECT {spec.SQL_URL} AS url, CAST(0 AS BIGINT) AS table_no,
+       CAST(i AS BIGINT) AS row_no, CAST(j AS BIGINT) AS col_no,
+       'c' || CAST(doc_id % 100 AS STRING) || 'r' || CAST(i AS STRING)
+           || 'c' || CAST(j AS STRING) AS cell_text
+FROM (SELECT doc_id, unnest(generate_series(0, 3)) AS i FROM documents
+      WHERE doc_id % 10 = 6),
+     (SELECT unnest(generate_series(0, 2)) AS j)
+""",
+        "edge_filter_funnel": f"""
+WITH {synth_rel.EDGES_REL_DUCKDB.strip()},
+traps AS (
+  SELECT {spec.SQL_URL} AS url, 1 AS page_no, t.x0, t.y0, t.x1, t.y1,
+         1.0 AS width, 'line' AS src
+  FROM documents,
+       (VALUES (0.5, 100.0, 0.5, 300.0), (100.0, 791.5, 300.0, 791.5),
+               (580.0, 100.0, 580.0, 300.0), (100.0, 10.0, 300.0, 10.0),
+               (100.0, 100.0, 200.0, 200.0)) t(x0, y0, x1, y1)
+),
+all_edges AS (
+  SELECT url, x0, y0, x1, y1 FROM edges_rel
+  UNION ALL SELECT url, x0, y0, x1, y1 FROM traps
+),
+g6 AS (
+  SELECT * FROM all_edges WHERE NOT (
+    ((LEAST(x0, x1) < 1.0 OR GREATEST(x0, x1) > 611.0) AND ABS(x1 - x0) < 1.0)
+    OR ((LEAST(y0, y1) < 1.0 OR GREATEST(y0, y1) > 791.0) AND ABS(y1 - y0) < 1.0))
+),
+g7 AS (
+  SELECT * FROM g6
+  WHERE (ABS(y1 - y0) < 3.0 OR ABS(x1 - x0) < 3.0)
+    AND LEAST(x0, x1) >= 20.0 AND GREATEST(x0, x1) <= 575.0
+    AND LEAST(y0, y1) >= 20.0
+)
+SELECT url, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(SUM(x0 + y1), 3) AS sum_x0y1
+FROM g7 GROUP BY url
+""",
+        "extract_tables_text": f"""
+SELECT {spec.SQL_URL} AS url, CAST(0 AS BIGINT) AS table_no,
+       CAST(i AS BIGINT) AS row_no, CAST(j AS BIGINT) AS col_no,
+       'c' || CAST(doc_id % 100 AS STRING) || 'r' || CAST(i AS STRING)
+           || 'c' || CAST(j AS STRING) AS cell_text
+FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS i FROM documents
+      WHERE doc_id % 10 = 6),
+     (SELECT unnest(generate_series(0, 2)) AS j)
+""",
+        "extract_tables_text_relational": f"""
+SELECT {spec.SQL_URL} AS url, CAST(0 AS BIGINT) AS table_no,
+       CAST(i AS BIGINT) AS row_no, CAST(j AS BIGINT) AS col_no,
+       'c' || CAST(doc_id % 100 AS STRING) || 'r' || CAST(i AS STRING)
            || 'c' || CAST(j AS STRING) AS cell_text
 FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS i FROM documents
       WHERE doc_id % 10 = 6),

@@ -157,6 +157,46 @@ def _graphics_stream(doc_id: int, lines: list[str]) -> bytes:
     return b"\n".join(ops)
 
 
+def _texttable_stream(doc_id: int) -> bytes:
+    """Ruling-free table: ONLY the grid cell text, no lines/rects — the T12
+    text-based-detection fixture (x-aligned word columns, nothing to
+    lattice). Same geometry as _graphics_stream's cell block."""
+    cell_ops = [b"BT", b"/F1 %g Tf" % GRID_FONT]
+    for r in range(GRID_ROWS):
+        for c in range(GRID_COLS):
+            tx = GRID_X + c * CELL_W + 2.0
+            ty = GRID_Y - r * CELL_H - 16.0
+            cell_ops.append(b"1 0 0 1 %g %g Tm" % (tx, ty))
+            cell_ops.append(b"(" + _esc(grid_cell_text(doc_id, r, c)) + b") Tj")
+    cell_ops.append(b"ET")
+    return b"\n".join(cell_ops)
+
+
+ROWRECT_ROWS = 4
+
+
+def _rowrects_stream(doc_id: int) -> bytes:
+    """Row-rectangle table: ROWRECT_ROWS stacked full-width filled rects
+    (same x0/x1) + cell text at aligned columns, NO ruling lines — the
+    T7/T9/T10/T11 fixture (extractTableFromRowRectangles,
+    table_extractor.go:510-586)."""
+    ops = []
+    w = GRID_COLS * CELL_W
+    for r in range(ROWRECT_ROWS):
+        y = GRID_Y - (r + 1) * CELL_H
+        ops.append(b"%g %g %g %g re f" % (GRID_X, y, w, CELL_H))
+    cell_ops = [b"BT", b"/F1 %g Tf" % GRID_FONT]
+    for r in range(ROWRECT_ROWS):
+        for c in range(GRID_COLS):
+            tx = GRID_X + c * CELL_W + 2.0
+            ty = GRID_Y - r * CELL_H - 16.0
+            cell_ops.append(b"1 0 0 1 %g %g Tm" % (tx, ty))
+            cell_ops.append(b"(" + _esc(grid_cell_text(doc_id, r, c)) + b") Tj")
+    cell_ops.append(b"ET")
+    ops.append(b"\n".join(cell_ops))
+    return b"\n".join(ops)
+
+
 # --- assembler --------------------------------------------------------------
 
 
@@ -378,6 +418,10 @@ def build_pdf(doc_id: int, text: str, variant: str) -> tuple[bytes, str]:
             content = _text_stream_cmap(plines)
         elif variant == "pdf_graphics":
             content = _graphics_stream(doc_id, plines)
+        elif variant == "pdf_texttable":
+            content = _texttable_stream(doc_id)
+        elif variant == "pdf_rowrects":
+            content = _rowrects_stream(doc_id)
         else:
             content = _text_stream_plain(plines)
         objects[snum] = _stream_obj(content, flate=flate)

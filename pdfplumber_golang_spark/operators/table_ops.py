@@ -7,8 +7,12 @@ range/interval join realized as a per-page equi-join plus range predicate
 (the page key bounds the join fan-out; cells-per-page and chars-per-page
 are small constants, so the "bin" IS the page).
 
-Limitation vs the kernel (documented): no text-based fallback (T12). Use
-the kernel path for ruling-free pages.
+T12 (text-based detection for ruling-free pages) exists relationally too:
+``text_tables`` — word-line sessionize, aligned-column histogram with the
+max(2, 30%-of-lines) support gate, nearest-column assignment as a
+rank-over-distance join. ``extract_tables_relational`` composes it as the
+fallback for pages the lattice leaves empty, mirroring the kernel dispatch
+(ExtractTables, table_extractor.go:64-69).
 """
 
 from __future__ import annotations
@@ -127,6 +131,117 @@ def fill_cells(cells: DataFrame, chars: DataFrame) -> DataFrame:
     )
 
 
+MIN_TABLE_SIZE = 3
+
+
+def text_tables(chars: DataFrame, min_table_size: int = MIN_TABLE_SIZE) -> DataFrame:
+    """T12 relationally: word lines → aligned-column histogram →
+    nearest-column assignment (findAlignedColumnsFromWords +
+    createTableFromAlignedText, table_extractor.go:731-886).
+
+    Shape: one narrow words relation, two windowed aggs, one per-page
+    equi-join against the (tiny) column set — the join fan-out per page is
+    n_words x n_cols with n_cols bounded by distinct snapped x positions,
+    so the plan scales linearly in pages like the lattice path.
+
+    Line grouping uses the Y2 char sweep's line_id (same tolerance); the
+    kernel re-sweeps at word level — identical whenever intra-line y jitter
+    is below Y_TOLERANCE, the same documented envelope as layout_ops'
+    lag-based sessionize (layout_ops.py:10-14).
+    """
+    from .layout_ops import words as words_op
+
+    w = words_op(chars).select(
+        "url", "page_no", "line_id", "word_id",
+        F.col("word_text"), "x0", "x1", "y0", "y1",
+    )
+    pagekey = ["url", "page_no"]
+    # lines >= minTableSize gate (:386), counted per page
+    nlines = w.groupBy(*pagekey).agg(
+        F.countDistinct("line_id").alias("n_lines")
+    ).where(F.col("n_lines") >= min_table_size)
+
+    snapped = F.round(F.col("x0") / SNAP_TOL) * SNAP_TOL
+    # column support: lines containing a word starting at the snapped x
+    support = (
+        w.select(*pagekey, "line_id", snapped.alias("col_x"))
+        .distinct()
+        .groupBy(*pagekey, "col_x")
+        .agg(F.count("*").alias("n_sup"))
+        .join(nlines, pagekey)
+        .where(
+            F.col("n_sup")
+            >= F.greatest(F.lit(2), F.floor(0.3 * F.col("n_lines")))
+        )
+    )
+    wc = Window.partitionBy(*pagekey).orderBy("col_x")
+    cols = (
+        support.withColumn("col_no", F.row_number().over(wc) - 1)
+        .withColumn("n_cols", F.count("*").over(Window.partitionBy(*pagekey)))
+        .where(F.col("n_cols") >= 2)  # len(columns) > 1 (:386)
+        .select(*pagekey, "col_x", "col_no")
+    )
+    # nearest column strictly within 3*snap (:879); ties go to the leftmost
+    # column (the kernel iterates columns ascending with a strict <)
+    dist = F.abs(F.col("x0") - F.col("col_x"))
+    assigned = (
+        w.join(cols, pagekey)
+        .where(dist < 3 * SNAP_TOL)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(*pagekey, "line_id", "word_id")
+                .orderBy(dist.asc(), F.col("col_x").asc())
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    # cell text: member words joined by ' ' in x order (:855-864)
+    filled = assigned.groupBy(*pagekey, "line_id", "col_no").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("x0", "word_text"))),
+                lambda s: s["word_text"],
+            ),
+        ).alias("cell_text")
+    )
+    # full grid: every (line, col) pair, empties included; row_no follows
+    # line_id (top line first — the kernel sorts words by -y0)
+    grid = (
+        w.select(*pagekey, "line_id").distinct()
+        .join(cols.select(*pagekey, "col_no"), pagekey)
+    )
+    wr = Window.partitionBy(*pagekey).orderBy("line_id")
+    return (
+        grid.join(filled, [*pagekey, "line_id", "col_no"], "left")
+        .fillna("", ["cell_text"])
+        .withColumn("row_no", F.dense_rank().over(wr) - 1)
+        .withColumn("table_no", F.lit(0))
+        .select(*pagekey, "table_no", "row_no", "col_no", "cell_text")
+    )
+
+
 def extract_tables_relational(edges: DataFrame, chars: DataFrame) -> DataFrame:
-    """Full relational lattice path: edges + chars → filled cell grid."""
-    return fill_cells(lattice_cells(edges), chars)
+    """Full relational path: lattice first; pages it leaves empty fall back
+    to T12 text detection (kernel/reference dispatch, ExtractTables
+    :64-69). The anti-join keys are (url, page_no) — control-flow rows,
+    never payload."""
+    lattice = fill_cells(lattice_cells(edges), chars)
+    # rows >= minTableSize gate (table_extractor.go:118), twin of the
+    # kernel's _line_based gate
+    n_rows = F.max("row_no").over(
+        Window.partitionBy("url", "page_no", "table_no")
+    ) + 1
+    lattice = lattice.withColumn("_nr", n_rows).where(
+        F.col("_nr") >= MIN_TABLE_SIZE
+    ).drop("_nr")
+    covered = lattice.select("url", "page_no").distinct()
+    fallback = text_tables(
+        chars.join(covered, ["url", "page_no"], "left_anti")
+    ).select(
+        "url", "page_no", "table_no", "row_no", "col_no", "cell_text"
+    )
+    return lattice.select(
+        "url", "page_no", "table_no", "row_no", "col_no", "cell_text"
+    ).unionByName(fallback)

@@ -102,6 +102,62 @@ def build_graphics_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, schema=schema)
 
 
+def build_texttable_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ruling-free table PDFs (variant pdf_texttable): the grid cell text
+    at aligned x positions with NO lines/rects — the T12 text-detection
+    corpus (same doc subset as the graphics corpus)."""
+    from ..kernel.pdfwrite import build_pdf
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                data, _golden = build_pdf(doc_id, text, "pdf_texttable")
+                urls.append(spec.url_of(doc_id))
+                payloads.append(data)
+            yield pd.DataFrame({"url": urls, "html": payloads})
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where("doc_id % 10 = 6")
+        .select("doc_id", "text")
+        .repartition(8, F.col("doc_id"))
+    )
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("html", T.BinaryType())]
+    )
+    return docs.mapInPandas(gen, schema=schema)
+
+
+def build_rowrects_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-rectangle table PDFs (variant pdf_rowrects): stacked aligned
+    filled rects + columned cell text, no ruling lines — the
+    T7/T9/T10/T11 corpus."""
+    from ..kernel.pdfwrite import build_pdf
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                data, _golden = build_pdf(doc_id, text, "pdf_rowrects")
+                urls.append(spec.url_of(doc_id))
+                payloads.append(data)
+            yield pd.DataFrame({"url": urls, "html": payloads})
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where("doc_id % 10 = 6")
+        .select("doc_id", "text")
+        .repartition(8, F.col("doc_id"))
+    )
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("html", T.BinaryType())]
+    )
+    return docs.mapInPandas(gen, schema=schema)
+
+
 def pages_cache_path(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join("/root/repo/.pages_cache", tag)
