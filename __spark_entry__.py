@@ -19,6 +19,7 @@ from pdfplumber_golang_spark.functions import ann, dedup, multimodal, text_analy
 from pdfplumber_golang_spark.operators import layout_ops, synth_rel, table_ops
 from pdfplumber_golang_spark.sources.pagesgen import (
     build_graphics_pages,
+    build_curves_pages,
     build_rowrects_pages,
     build_texttable_pages,
     load_or_build_pages,
@@ -392,6 +393,22 @@ def _q_edge_filter_funnel(spark, sf_dir):
     )
 
 
+def _q_pdf_curves(spark, sf_dir):
+    """Curves relation: non-axis stroked point chains + non-rect fills
+    (kernel/content.py _emit_stroke/_emit_fill; reference
+    content_stream_parser.go:1259-1357) — counts + per-curve bboxes."""
+    pages = build_curves_pages(spark, sf_dir)
+    return pipeline.extract_curves(pages).select(
+        "url",
+        F.col("curve_no").cast("long").alias("curve_no"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round("x0", 3).alias("x0"),
+        F.round("y0", 3).alias("y0"),
+        F.round("x1", 3).alias("x1"),
+        F.round("y1", 3).alias("y1"),
+    )
+
+
 def _q_event_sessions(spark, sf_dir):
     """Classic sessionization over the events stream table: a new session
     starts after a >30-minute gap per user (same lag+cumsum shape as the
@@ -491,6 +508,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables_lattice": _q_extract_tables,
         "extract_tables_text": _q_extract_tables_text,
         "extract_tables_rowrects": _q_extract_tables_rowrects,
+        "pdf_curves": _q_pdf_curves,
         "edge_filter_funnel": _q_edge_filter_funnel,
         "extract_tables_text_relational": _q_extract_tables_text_relational,
         "extract_tables_relational": _q_extract_tables_relational,
@@ -611,6 +629,26 @@ SELECT {spec.SQL_URL} AS url, CAST(0 AS BIGINT) AS table_no,
 FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS i FROM documents
       WHERE doc_id % 10 = 6),
      (SELECT unnest(generate_series(0, 2)) AS j)
+""",
+        "pdf_curves": f"""
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 6),
+stroked AS (
+  SELECT doc_id, i AS curve_no, 3 AS n_points,
+         72.0 + 10 * i AS x0, 290.0 - 30 * i AS y0,
+         152.0 + 10 * i AS x1, 310.0 - 30 * i AS y1
+  FROM (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS i FROM docs)
+),
+filled AS (
+  SELECT doc_id, 2 + doc_id % 3 AS curve_no, 3 AS n_points,
+         200.0 AS x0, 500.0 AS y0, 240.0 AS x1, 540.0 AS y1
+  FROM docs
+),
+allc AS (SELECT * FROM stroked UNION ALL SELECT * FROM filled)
+SELECT {spec.SQL_URL} AS url, CAST(curve_no AS BIGINT) AS curve_no,
+       CAST(n_points AS BIGINT) AS n_points,
+       ROUND(x0, 3) AS x0, ROUND(y0, 3) AS y0,
+       ROUND(x1, 3) AS x1, ROUND(y1, 3) AS y1
+FROM allc
 """,
         "extract_tables_rowrects": f"""
 SELECT {spec.SQL_URL} AS url, CAST(0 AS BIGINT) AS table_no,

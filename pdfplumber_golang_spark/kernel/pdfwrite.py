@@ -197,6 +197,24 @@ def _rowrects_stream(doc_id: int) -> bytes:
     return b"\n".join(ops)
 
 
+def _curves_stream(doc_id: int) -> bytes:
+    """Curve fixture: K = 2 + doc_id%3 stroked beziers (non-axis point
+    chains -> CurveObjects) plus one filled triangle (non-rect fill ->
+    CurveObject). All geometry closed-form in doc_id."""
+    k = 2 + doc_id % 3
+    ops = [b"1 w"]
+    for i in range(k):
+        x, y = 72.0 + 10 * i, 300.0 - 30 * i
+        ops.append(
+            b"%g %g m %g %g %g %g %g %g c %g %g %g %g %g %g c S"
+            % (x, y,
+               x + 10, y + 30, x + 30, y + 30, x + 40, y + 10,
+               x + 50, y - 30, x + 70, y - 30, x + 80, y - 10)
+        )
+    ops.append(b"200 500 m 240 500 l 220 540 l f")
+    return b"\n".join(ops)
+
+
 # --- assembler --------------------------------------------------------------
 
 
@@ -236,35 +254,37 @@ def _assemble_xrefstream(objects: dict[int, bytes], compressible: set[int]) -> b
         + b"\nendstream\nendobj\n"
     )
 
-    # xref stream rows, W = [1 2 1]
+    # xref stream rows, W = [1 4 1] (4-byte offsets: no 64KiB file-size
+    # ceiling, ADVICE r1)
+    ROWW = 6
     rows = bytearray()
     for num in range(maxnum + 1):
         if num == 0:
-            rows += bytes([0, 0, 0, 255])
+            rows += bytes([0]) + (0).to_bytes(4, "big") + bytes([255])
         elif num in byte_off or num == xref_num:
             off = byte_off.get(num, 0)  # xref stream offset patched below
-            rows += bytes([1]) + off.to_bytes(2, "big") + bytes([0])
+            rows += bytes([1]) + off.to_bytes(4, "big") + bytes([0])
         elif num in compressible:
             idx = packed.index(num)
-            rows += bytes([2]) + objstm_num.to_bytes(2, "big") + bytes([idx])
-        else:
-            rows += bytes([0, 0, 0, 0])
+            rows += bytes([2]) + objstm_num.to_bytes(4, "big") + bytes([idx])
+        else:  # gap object numbers are free entries
+            rows += bytes([0]) + (0).to_bytes(4, "big") + bytes([0])
     xref_off = len(out)
     # patch the xref stream's own offset into its row
-    row = bytes([1]) + xref_off.to_bytes(2, "big") + bytes([0])
-    rows[4 * xref_num : 4 * xref_num + 4] = row
-    # PNG up-predictor (12), columns = 4
+    row = bytes([1]) + xref_off.to_bytes(4, "big") + bytes([0])
+    rows[ROWW * xref_num : ROWW * xref_num + ROWW] = row
+    # PNG up-predictor (12), columns = ROWW
     pred = bytearray()
-    prev = bytes(4)
-    for i in range(0, len(rows), 4):
-        cur = bytes(rows[i : i + 4])
+    prev = bytes(ROWW)
+    for i in range(0, len(rows), ROWW):
+        cur = bytes(rows[i : i + ROWW])
         pred += bytes([2]) + bytes((c - p) & 0xFF for c, p in zip(cur, prev))
         prev = cur
     xref_data = zlib.compress(bytes(pred))
     out += (
-        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 2 1] /Root 1 0 R"
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 1] /Root 1 0 R"
         b" /Info 9 0 R"
-        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>"
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 6 >>"
         b" /Length %d >>\nstream\n" % (xref_num, maxnum + 1, len(xref_data))
         + xref_data
         + b"\nendstream\nendobj\n"
@@ -291,7 +311,10 @@ def _assemble(
     out += b"xref\n0 %d\n" % (maxnum + 1)
     out += b"0000000000 65535 f \n"
     for num in range(1, maxnum + 1):
-        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:  # gap object numbers are free entries (ADVICE r1)
+            out += b"0000000000 65535 f \n"
     trailer = b"<< /Size %d /Root 1 0 R" % (maxnum + 1)
     if 9 in objects:  # obj 9 is reserved for /Info
         trailer += b" /Info 9 0 R"
@@ -422,6 +445,8 @@ def build_pdf(doc_id: int, text: str, variant: str) -> tuple[bytes, str]:
             content = _texttable_stream(doc_id)
         elif variant == "pdf_rowrects":
             content = _rowrects_stream(doc_id)
+        elif variant == "pdf_curves":
+            content = _curves_stream(doc_id)
         else:
             content = _text_stream_plain(plines)
         objects[snum] = _stream_obj(content, flate=flate)

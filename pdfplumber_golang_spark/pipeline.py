@@ -213,6 +213,60 @@ def extract_tables_df(
     )
 
 
+CURVE_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("curve_no", T.IntegerType()),
+        T.StructField("n_points", T.IntegerType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+    ]
+)
+
+
+def _curve_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .kernel.extract import parse_pdf_objects
+
+    cols = [f.name for f in CURVE_ROWS_SCHEMA.fields]
+    for pdf in it:
+        out: dict[str, list] = {c: [] for c in cols}
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            raw = bytes(raw)
+            if raw[:5] != b"%PDF-":
+                continue
+            try:
+                for page_no, _mb, interp in parse_pdf_objects(raw):
+                    for cno, (pts,) in enumerate(interp.curves):
+                        xs = [p[0] for p in pts]
+                        ys = [p[1] for p in pts]
+                        out["url"].append(url)
+                        out["page_no"].append(page_no)
+                        out["curve_no"].append(cno)
+                        out["n_points"].append(len(pts))
+                        out["x0"].append(min(xs))
+                        out["y0"].append(min(ys))
+                        out["x1"].append(max(xs))
+                        out["y1"].append(max(ys))
+            except Exception:
+                continue
+        yield pd.DataFrame(out)
+
+
+def extract_curves(
+    pages: DataFrame, parallelism: int = 32, salt: bool = False
+) -> DataFrame:
+    """pages table → curves relation (url, page_no, curve_no, n_points,
+    bbox). CurveObjects are non-axis stroked point chains and non-rect
+    fills (kernel/content.py _emit_stroke/_emit_fill; reference populates
+    them at content_stream_parser.go:1259-1357)."""
+    return _salted(pages, parallelism, salt).mapInPandas(
+        _curve_batches, schema=CURVE_ROWS_SCHEMA
+    )
+
+
 EDGE_ROWS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),

@@ -74,10 +74,9 @@ def build_pages(spark: SparkSession, sf_dir: str, parallelism: int = 32) -> Data
     return docs.mapInPandas(_gen_batches, schema=PAGES_SCHEMA)
 
 
-def build_graphics_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ruled-table PDFs (variant pdf_graphics) for doc_id % 10 == 6 docs —
-    the table-extraction test corpus (mirrors the reference's
-    table_example.pdf fixture role)."""
+def _variant_pages(spark: SparkSession, sf_dir: str, variant: str) -> DataFrame:
+    """(url, html) pages for one deterministic fixture variant over the
+    doc_id % 10 == 6 subset — shared builder for the table/curve corpora."""
     from ..kernel.pdfwrite import build_pdf
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -85,7 +84,7 @@ def build_graphics_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             urls, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
-                data, _golden = build_pdf(doc_id, text, "pdf_graphics")
+                data, _golden = build_pdf(doc_id, text, variant)
                 urls.append(spec.url_of(doc_id))
                 payloads.append(data)
             yield pd.DataFrame({"url": urls, "html": payloads})
@@ -100,62 +99,30 @@ def build_graphics_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         [T.StructField("url", T.StringType()), T.StructField("html", T.BinaryType())]
     )
     return docs.mapInPandas(gen, schema=schema)
+
+
+def build_graphics_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ruled-table PDFs (variant pdf_graphics) — the lattice-extraction
+    corpus (mirrors the reference's table_example.pdf fixture role)."""
+    return _variant_pages(spark, sf_dir, "pdf_graphics")
 
 
 def build_texttable_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ruling-free table PDFs (variant pdf_texttable): the grid cell text
-    at aligned x positions with NO lines/rects — the T12 text-detection
-    corpus (same doc subset as the graphics corpus)."""
-    from ..kernel.pdfwrite import build_pdf
-
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            urls, payloads = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                doc_id = int(doc_id)
-                data, _golden = build_pdf(doc_id, text, "pdf_texttable")
-                urls.append(spec.url_of(doc_id))
-                payloads.append(data)
-            yield pd.DataFrame({"url": urls, "html": payloads})
-
-    docs = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .where("doc_id % 10 = 6")
-        .select("doc_id", "text")
-        .repartition(8, F.col("doc_id"))
-    )
-    schema = T.StructType(
-        [T.StructField("url", T.StringType()), T.StructField("html", T.BinaryType())]
-    )
-    return docs.mapInPandas(gen, schema=schema)
+    """Ruling-free aligned cell text (variant pdf_texttable) — the T12
+    text-detection corpus."""
+    return _variant_pages(spark, sf_dir, "pdf_texttable")
 
 
 def build_rowrects_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-rectangle table PDFs (variant pdf_rowrects): stacked aligned
-    filled rects + columned cell text, no ruling lines — the
-    T7/T9/T10/T11 corpus."""
-    from ..kernel.pdfwrite import build_pdf
+    """Stacked aligned filled rects + columned cell text (variant
+    pdf_rowrects) — the T7/T9/T10/T11 corpus."""
+    return _variant_pages(spark, sf_dir, "pdf_rowrects")
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            urls, payloads = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                doc_id = int(doc_id)
-                data, _golden = build_pdf(doc_id, text, "pdf_rowrects")
-                urls.append(spec.url_of(doc_id))
-                payloads.append(data)
-            yield pd.DataFrame({"url": urls, "html": payloads})
 
-    docs = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .where("doc_id % 10 = 6")
-        .select("doc_id", "text")
-        .repartition(8, F.col("doc_id"))
-    )
-    schema = T.StructType(
-        [T.StructField("url", T.StringType()), T.StructField("html", T.BinaryType())]
-    )
-    return docs.mapInPandas(gen, schema=schema)
+def build_curves_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stroked beziers + a filled triangle (variant pdf_curves), geometry
+    closed-form in doc_id — the curves-relation corpus."""
+    return _variant_pages(spark, sf_dir, "pdf_curves")
 
 
 def pages_cache_path(sf_dir: str) -> str:
