@@ -199,8 +199,22 @@ class Interpreter:
                     operands.clear()
 
     def _skip_inline_image(self, lex: lx.Lexer) -> None:
-        idx = lex.data.find(b"EI", lex.pos)
-        lex.pos = len(lex.data) if idx < 0 else idx + 2
+        """Skip BI ... ID <binary> EI. 'EI' can occur inside unencoded
+        image bytes, so only accept it when delimited by PDF whitespace
+        (or start/end of stream) on BOTH sides — otherwise the scan would
+        resume mid-image and feed garbage tokens to the interpreter
+        (ADVICE r1)."""
+        data, n = lex.data, len(lex.data)
+        ws = b"\x00\t\n\x0c\r "
+        pos = data.find(b"EI", lex.pos)
+        while pos >= 0:
+            before_ok = pos == 0 or data[pos - 1] in ws
+            after_ok = pos + 2 >= n or data[pos + 2] in ws
+            if before_ok and after_ok:
+                lex.pos = pos + 2
+                return
+            pos = data.find(b"EI", pos + 1)
+        lex.pos = n
 
     # -------------------------------------------------------- dispatch ---
     def _dispatch(self, op: str, o: list) -> None:

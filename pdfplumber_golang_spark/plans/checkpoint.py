@@ -43,12 +43,19 @@ def bucketed(pages: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    """Buckets already recorded in the lineage table. Probed THROUGH Spark
+    (read + catch AnalysisException) rather than os.path, so resume works
+    on hdfs:// and s3a:// paths — the cluster scenario this module exists
+    for — not just the local filesystem (ADVICE r1)."""
+    from pyspark.errors import AnalysisException
+
     lineage_dir = os.path.join(out_dir, "lineage")
-    if not os.path.isdir(lineage_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(lineage_dir)
-    ):
+    try:
+        lineage = spark.read.parquet(lineage_dir)
+    except AnalysisException:  # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA
         return set()
-    rows = spark.read.parquet(lineage_dir).select("bucket").distinct().collect()
+    # bounded: one control row per bucket, never document payload
+    rows = lineage.select("bucket").distinct().collect()
     return {r.bucket for r in rows}
 
 
@@ -60,6 +67,7 @@ def run_checkpointed(
     group_size: int = 4,
     parallelism: int = 32,
     max_groups: int | None = None,
+    salt: bool = False,
 ) -> dict:
     """Extract all pages, checkpointing per bucket group. Returns stats.
 
@@ -80,7 +88,7 @@ def run_checkpointed(
         t0 = time.perf_counter()
         batch = src.where(F.col("bucket").isin(group))
         rows = pipeline.extract_pages(
-            batch.select("url", "html"), parallelism=parallelism
+            batch.select("url", "html"), parallelism=parallelism, salt=salt
         )
         rows = rows.join(
             bucketed(pages.select("url"), n_buckets), "url", "left"

@@ -51,6 +51,7 @@ def main(argv: list[str]) -> int:
         n_buckets=args.buckets,
         group_size=args.group_size,
         parallelism=args.parallelism,
+        salt=args.salt,
     )
     lineage = checkpoint.lineage_table(spark, args.output)
     agg = lineage.groupBy().sum("n_docs", "n_pages", "n_errors").collect()[0]

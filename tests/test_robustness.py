@@ -94,3 +94,24 @@ def test_pathological_structures():
     }
     pages, err = extract_document("u", _assemble(objects))
     assert err is None and pages[0].n_chars == 5000
+
+
+def test_inline_image_embedded_ei_bytes():
+    """'EI' inside unencoded inline-image data must not terminate the skip
+    (ADVICE r1: require whitespace delimiters around the EI keyword)."""
+    from pdfplumber_golang_spark.kernel import content as C
+    from pdfplumber_golang_spark.kernel import lexer as lx
+
+    # image payload contains a bare 'EI' with no surrounding whitespace;
+    # the real terminator follows. After it, a Tj must still be parsed.
+    stream = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (before) Tj ET\n"
+        b"BI /W 2 /H 2 /BPC 8 ID xxEIyy(fake) Tj\x00\xffzz EI\n"
+        b"BT /F1 12 Tf 1 0 0 1 72 680 Tm (after) Tj ET\n"
+    )
+    f1 = C.Font(name="F1", base="Helvetica", cmap=None, two_byte=False)
+    interp = C.Interpreter(fonts={"F1": f1})
+    interp.run(stream)
+    got = "".join(c[0] for c in interp.chars)
+    # old behavior resumed at the embedded 'EI' and emitted 'fake'
+    assert got == "beforeafter"
