@@ -85,6 +85,31 @@ def main() -> None:
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # big-corpus extraction (VERDICT r1 #7): the kernel-dominated number —
+    # at ~160x the sf0.1 corpus the ~4s fixed stage overhead is <2% of
+    # wall, so round-over-round deltas and the scaling harness measure the
+    # same thing. Corpus materialization is one-time (.bench_cache).
+    from pyspark.sql import functions as F
+
+    from pdfplumber_golang_spark import pipeline
+
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "160"))
+    big = spark.read.parquet(_scale_corpus(repeat))
+    # warm every Python worker (package import paid outside the timing)
+    pipeline.extract_pages(big.limit(3000), parallelism=CPUS).count()
+    # best-of-2: same methodology as the scaling harness (this box's
+    # background noise swings absolute throughput ±20%)
+    big_secs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rows = pipeline.extract_pages(big, parallelism=CPUS)
+        agg = pipeline.doc_text(rows).agg(
+            F.count("*").alias("docs"), F.sum("n_pages").alias("pages")
+        ).collect()[0]
+        big_secs.append(round(time.perf_counter() - t0, 3))
+    timings["extract_big"] = min(big_secs)
+    big_docs = int(agg["docs"])
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "extraction+ops wall time",
@@ -95,6 +120,9 @@ def main() -> None:
         "docs": n_docs,
         "pages": n_pages,
         "extract_docs_per_sec": round(n_docs / timings["extract_full"], 1),
+        "big_docs": big_docs,
+        "big_repeat": repeat,
+        "big_docs_per_sec": round(big_docs / timings["extract_big"], 1),
         "cpus": CPUS,
     }
     spark.stop()
@@ -141,19 +169,22 @@ def _scale_corpus(repeat: int, n_files: int = 256) -> str:
     path = os.path.join(REPO, ".bench_cache", tag)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
+    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from pdfplumber_golang_spark.session import get_spark
     from pdfplumber_golang_spark.sources.pagesgen import load_or_build_pages
 
-    spark = get_spark(app="bench-corpus", cores=CPUS)
+    active = SparkSession.getActiveSession()
+    spark = active or get_spark(app="bench-corpus", cores=CPUS)
     pages = load_or_build_pages(spark, SF_DIR).select("url", "html")
     reps = spark.range(repeat).select(F.col("id").cast("int").alias("rep"))
     big = pages.crossJoin(F.broadcast(reps)).select(
         F.concat_ws("#r", "url", "rep").alias("url"), "html"
     )
     big.repartition(n_files).write.mode("overwrite").parquet(path)
-    spark.stop()
+    if active is None:
+        spark.stop()
     return path
 
 
