@@ -42,8 +42,28 @@ class Page:
         return self.mediabox[3] - self.mediabox[1]
 
     # -- extraction ------------------------------------------------------
-    def extract_text(self, x_tolerance=spec.X_TOLERANCE, y_tolerance=spec.Y_TOLERANCE) -> str:
-        return layout.organize_text(self.chars, x_tolerance, y_tolerance)
+    def extract_text(
+        self,
+        x_tolerance=spec.X_TOLERANCE,
+        y_tolerance=spec.Y_TOLERANCE,
+        unicode_norm: str | None = None,
+        layout_mode: bool = False,
+    ) -> str:
+        """Option surface mirrors the reference's TextExtractionOptions
+        (WithXTolerance/WithYTolerance/WithUnicodeNorm/WithLayout,
+        types.go:310-340). ``unicode_norm`` ('NFC'|'NFD'|'NFKC'|'NFKD')
+        applies a unicodedata.normalize post-pass — the reference declares
+        the option but never consumes it (types.go:317), so None stays the
+        parity default. ``layout_mode`` is accepted and inert exactly like
+        the reference's Layout flag (its only reader is an empty branch,
+        document_dslipak.go:242-245)."""
+        del layout_mode  # parity-only, dead in the reference too
+        text = layout.organize_text(self.chars, x_tolerance, y_tolerance)
+        if unicode_norm is not None:
+            import unicodedata
+
+            text = unicodedata.normalize(unicode_norm, text)
+        return text
 
     def extract_words(self, x_tolerance=spec.X_TOLERANCE, y_tolerance=spec.Y_TOLERANCE) -> list[dict]:
         return layout.extract_words(self.chars, x_tolerance, y_tolerance)

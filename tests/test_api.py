@@ -53,3 +53,22 @@ def test_graphics_tables_via_api():
     page = api.open_bytes(data).get_page(1)
     tabs = page.extract_tables()
     assert len(tabs) == 1 and len(tabs[0]["rows"]) == 3
+
+
+def test_extract_text_option_stragglers():
+    """UnicodeNorm + Layout parity kwargs (types.go:310-340; VERDICT r1 #9)."""
+    from pdfplumber_golang_spark import api
+    from pdfplumber_golang_spark.kernel.pdfwrite import build_pdf
+
+    data, golden = build_pdf(6, "facade test page " * 10, "pdf_plain")
+    page = api.open_bytes(data).pages[0]
+    base = page.extract_text()
+    # inert flags leave the parity output untouched
+    assert page.extract_text(layout_mode=True) == base
+    assert page.extract_text(unicode_norm="NFC") == base  # ASCII fixed point
+    # NFKD actually decomposes when given composed input
+    import unicodedata
+
+    assert page.extract_text(unicode_norm="NFKD") == unicodedata.normalize(
+        "NFKD", base
+    )

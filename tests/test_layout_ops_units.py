@@ -125,3 +125,68 @@ def test_empty_column_pruning_in_row_rect_path():
     # decoy column pruned: only 2 columns survive
     assert all(len(r) == 2 for r in rows)
     assert rows[0] == ["a0", "b0"]
+
+
+def _jitter_chars(ys):
+    """One char per y value; x advances so reading order is deterministic."""
+    return [
+        (chr(97 + i % 26), "F1", 12.0, 72.0 + 6.0 * i, y,
+         78.0 + 6.0 * i, y + 12.0, 6.0, 12.0)
+        for i, y in enumerate(ys)
+    ]
+
+
+def _kernel_line_of(chars):
+    from pdfplumber_golang_spark.kernel import layout
+
+    ordered = layout.sort_reading_order(chars)
+    out = {}
+    for li, line in enumerate(layout.group_lines(ordered)):
+        for ch in line:
+            out[ch[0]] = li
+    return out
+
+
+def _relational_line_of(spark, chars):
+    from pdfplumber_golang_spark.operators.layout_ops import with_line_ids
+
+    rows = [
+        ("u", 1, i, c[0], c[3], c[4], c[5], c[6], c[7], c[8])
+        for i, c in enumerate(chars)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["url", "page_no", "char_idx", "text",
+         "x0", "y0", "x1", "y1", "width", "height"],
+    )
+    return {r.text: r.line_id - 1 for r in with_line_ids(df).collect()}
+
+
+def test_lag_sessionize_matches_anchor_sweep_within_envelope(spark):
+    """VERDICT r1 #8 jitter guard: with intra-line y-jitter at the
+    tolerance boundary (±1.4, spread 2.8 < yTol=3) and inter-line gaps
+    > yTol, the lag-based DataFrame sessionize assigns exactly the same
+    line partition as the kernel's anchor sweep."""
+    ys = []
+    for base in (700.0, 688.0, 676.0):
+        ys += [base, base + 1.4, base - 1.4, base + 0.7]
+    chars = _jitter_chars(ys)
+    k = _kernel_line_of(chars)
+    r = _relational_line_of(spark, chars)
+    assert k == r
+    assert len(set(k.values())) == 3
+
+
+def test_lag_sessionize_divergence_is_the_documented_staircase(spark):
+    """The FIRST input where the two implementations diverge (documented
+    at layout_ops.py:10-14): a y staircase stepping by 2.8 (< yTol) per
+    char. Every consecutive gap is within tolerance, so the lag chain
+    fuses everything into one line; the anchor sweep splits when the
+    cumulative drift from the line anchor exceeds yTol."""
+    ys = [700.0 - 2.8 * i for i in range(6)]  # drift 14 total
+    chars = _jitter_chars(ys)
+    k = _kernel_line_of(chars)
+    r = _relational_line_of(spark, chars)
+    assert len(set(r.values())) == 1      # lag: one fused line
+    assert len(set(k.values())) == 3      # anchor: split every 2 steps
+    assert k != r
