@@ -19,16 +19,25 @@ Same tie-break rules as the DataFrame operators in
 
 from __future__ import annotations
 
+from operator import itemgetter
+
 from .. import spec
 
 Char = tuple  # (text, font, size, x0, y0, x1, y1, width, height)
 _TEXT, _FONT, _SIZE, _X0, _Y0, _X1, _Y1, _W, _H = range(9)
 
+_BY_X0 = itemgetter(_X0)
+_BY_Y0 = itemgetter(_Y0)
+
 
 def sort_reading_order(chars: list[Char]) -> list[Char]:
     """Y1: strict (-y0, x0) sort — a total order refining the reference's
-    tolerance-relative comparison (deterministic tie-break, SURVEY §7a)."""
-    return sorted(chars, key=lambda c: (-c[_Y0], c[_X0]))
+    tolerance-relative comparison (deterministic tie-break, SURVEY §7a).
+    Implemented as two stable C-keyed passes (x asc, then y desc), which
+    yields exactly the (-y0, x0) lexicographic order."""
+    out = sorted(chars, key=_BY_X0)
+    out.sort(key=_BY_Y0, reverse=True)
+    return out
 
 
 def group_lines(
@@ -55,7 +64,7 @@ def group_lines(
 
 def line_text(line: list[Char], x_tol: float = spec.X_TOLERANCE) -> str:
     """Y3: X-sorted concat with gap-inserted spaces."""
-    line = sorted(line, key=lambda c: c[_X0])
+    line = sorted(line, key=_BY_X0)
     parts: list[str] = []
     last_x1 = 0.0
     for i, ch in enumerate(line):
@@ -93,7 +102,7 @@ def extract_words(
     """Y4+Y5: words with bboxes (text_organizer.go:157-220)."""
     out: list[dict] = []
     for ln in group_lines(sort_reading_order(chars), y_tol):
-        ln = sorted(ln, key=lambda c: c[_X0])
+        ln = sorted(ln, key=_BY_X0)
         cur: list[Char] = []
         last_x1 = 0.0
         for i, ch in enumerate(ln):

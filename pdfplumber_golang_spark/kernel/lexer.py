@@ -46,6 +46,30 @@ class Token:
 
 EOF_TOKEN = Token(EOF)
 
+import re as _re2
+
+#: fast path for Lexer.next(): one C-level match covering the token kinds
+#: that dominate structure parsing (names without #-escapes, numbers,
+#: dict/array delimiters, keywords). Strings, hex strings, comments, '>'
+#: singletons and #-escaped names fall back to the byte-wise readers —
+#: identical semantics, the regex only accelerates the common cases.
+#: Name requires a proper terminator (delimiter/ws/EOF) so '/A#42' falls
+#: back to the full reader; keyword may contain '#' (matching
+#: _read_keyword, which only stops at ws/delims).
+_SIMPLE_TOKEN_RE = _re2.compile(
+    rb"[\x00\t\n\x0c\r ]*"
+    rb"(?:(?P<dopen><<)|(?P<dclose>>>)|(?P<aopen>\[)|(?P<aclose>\])"
+    rb"|/(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%#]*)"
+    rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|\Z)"
+    rb"|(?P<num>[-+]?[0-9.]+)"
+    rb"|(?P<kw>[^\x00\t\n\x0c\r ()<>\[\]{}/%0-9+.-][^\x00\t\n\x0c\r ()<>\[\]{}/%]*))"
+)
+
+_DOPEN_TOKEN = Token(DICT_OPEN)
+_DCLOSE_TOKEN = Token(DICT_CLOSE)
+_AOPEN_TOKEN = Token(ARRAY_OPEN)
+_ACLOSE_TOKEN = Token(ARRAY_CLOSE)
+
 
 class Lexer:
     __slots__ = ("data", "pos", "_pushback")
@@ -79,6 +103,29 @@ class Lexer:
         if self._pushback is not None:
             t, self._pushback = self._pushback, None
             return t
+        m = _SIMPLE_TOKEN_RE.match(self.data, self.pos)
+        if m is not None:
+            g = m.lastgroup
+            self.pos = m.end()
+            if g == "name":
+                return Token(NAME, m.group("name").decode("latin-1"))
+            if g == "num":
+                raw = m.group("num")
+                if b"." in raw:
+                    return Token(NUM, float(raw))
+                try:
+                    return Token(NUM, int(raw))
+                except ValueError:
+                    return Token(NUM, 0)
+            if g == "kw":
+                return Token(KEYWORD, m.group("kw").decode("latin-1"))
+            if g == "dopen":
+                return _DOPEN_TOKEN
+            if g == "dclose":
+                return _DCLOSE_TOKEN
+            if g == "aopen":
+                return _AOPEN_TOKEN
+            return _ACLOSE_TOKEN
         self._skip_ws()
         data, n = self.data, len(self.data)
         i = self.pos
