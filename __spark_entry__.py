@@ -9,6 +9,7 @@ the goldens are pure SQL functions of the ``documents`` table, see
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -413,6 +414,42 @@ def _q_pdf_curves(spark, sf_dir):
     )
 
 
+def _q_event_sessions_stateful(spark, sf_dir):
+    """Custom stateful streaming operator: session-gap sessionization via
+    applyInPandasWithState (EventTimeTimeout). Emits a session when a
+    successor event closes it or when the event-time watermark passes
+    session_end + GAP; sessions still open at drain stay in state. The
+    oracle states that exact set in SQL (lag/cumsum sessionize + LEAD /
+    final-watermark predicate). Integer-valued columns only (float sums
+    are order-sensitive across engines)."""
+    import shutil
+    import tempfile
+
+    from pdfplumber_golang_spark.streaming.sessionize import stream_sessionize
+
+    root = tempfile.mkdtemp(prefix="sessionize_q_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    # time-ordered files (the operator's in-order-arrival contract)
+    ev.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(in_dir)
+    try:
+        out = stream_sessionize(spark, in_dir, os.path.join(root, "ckpt"))
+        result = out.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_start").cast("long").alias("session_start"),
+            F.col("session_end").cast("long").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        # materialize before the temp input dir disappears
+        pdf = result.toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=result.schema)
+
+
 def _q_event_sessions(spark, sf_dir):
     """Classic sessionization over the events stream table: a new session
     starts after a >30-minute gap per user (same lag+cumsum shape as the
@@ -524,6 +561,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_bboxes": _q_word_bboxes,
         "events_windowed_agg": _q_events_windowed,
         "event_sessionize": _q_event_sessions,
+        "event_sessionize_stateful": _q_event_sessions_stateful,
     }
 
 
@@ -653,6 +691,41 @@ SELECT {spec.SQL_URL} AS url, CAST(curve_no AS BIGINT) AS curve_no,
        ROUND(x0, 3) AS x0, ROUND(y0, 3) AS y0,
        ROUND(x1, 3) AS x1, ROUND(y1, 3) AS y1
 FROM allc
+""",
+        "event_sessionize_stateful": """
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+wm AS (SELECT MAX(epoch(ts)) - 1800 AS final_wm FROM events),
+flagged AS (
+  SELECT user_id, ts_s,
+         CASE WHEN LAG(ts_s) OVER w IS NULL
+                OR ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+),
+g AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end,
+         COUNT(*) AS n_events
+  FROM g GROUP BY user_id, sid
+),
+closed AS (
+  SELECT a.*,
+         LEAD(session_start) OVER (PARTITION BY user_id
+                                   ORDER BY session_start) AS next_start
+  FROM agg a
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_start AS BIGINT) AS session_start,
+       CAST(session_end AS BIGINT) AS session_end,
+       CAST(n_events AS BIGINT) AS n_events
+FROM closed, wm
+WHERE next_start IS NOT NULL OR session_end + 1800 < final_wm
 """,
         "extract_tables_rowrects": f"""
 SELECT {spec.SQL_URL} AS url, CAST(0 AS BIGINT) AS table_no,

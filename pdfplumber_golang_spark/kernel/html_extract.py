@@ -193,11 +193,11 @@ def extract_html_text(raw: bytes | str) -> str:
         if m is None:
             break
         pos = m.end()
-        tag = m.group(2)
+        closing, tag, s3 = m.group(1, 2, 3)
         if tag is None:
             continue  # comment/doctype/PI
         tag = tag.lower()
-        closing = m.group(1) == "/"
+        closing = closing == "/"
         if tag in _BLOCK_TAGS:
             flush()
         if not closing:
@@ -206,7 +206,6 @@ def extract_html_text(raw: bytes | str) -> str:
             # is exactly "/>" — i.e. the "/" follows whitespace, a quote, or
             # nothing.  "<a href=x/>" is a START tag there (the "/" belongs
             # to the unquoted attribute value), so mirror that exactly.
-            s3 = m.group(3)
             selfclosing = s3.endswith("/") and (
                 len(s3) == 1 or s3[-2] in ' \t\n\r\f"\''
             )

@@ -5,6 +5,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from pdfplumber_golang_spark import pipeline
 from pdfplumber_golang_spark.sources.pagesgen import load_or_build_pages
@@ -58,3 +59,64 @@ def test_windowed_agg_stream_matches_batch(spark, dirs):
     assert len(s) == len(b)
     for col in ("window_start", "event_type", "n_events", "sum_value"):
         assert s[col].astype(str).tolist() == b[col].astype(str).tolist(), col
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, dirs):
+    """applyInPandasWithState session-gap sessionize == the batch
+    sessionize for every session the watermark closed (sessions still
+    open at drain stay in state — streaming semantics)."""
+    import pandas as pd
+
+    from pdfplumber_golang_spark.streaming.sessionize import (
+        GAP_SECONDS,
+        stream_sessionize,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    # time-ordered files: the operator's in-order-arrival contract
+    # (watermark bounds disorder; a real feed is roughly time-ordered)
+    os.makedirs(dirs["in"], exist_ok=True)
+    epdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    k = 8
+    step = (len(epdf) + k - 1) // k
+    for i in range(k):
+        chunk = epdf.iloc[i * step : (i + 1) * step]
+        chunk.to_parquet(
+            os.path.join(dirs["in"], f"part-{i:04d}.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+
+    streamed = stream_sessionize(spark, dirs["in"], dirs["ckpt"]).toPandas()
+
+    # batch truth: same fold in pandas
+    sessions = []
+    for uid, g in epdf.groupby("user_id"):
+        start = end = None
+        n, sv = 0, 0.0
+        for ts, v in zip(g["ts"].astype("int64") // 10**9, g["value"]):
+            if start is None:
+                start = end = ts; n, sv = 1, float(v)
+            elif ts - end > GAP_SECONDS:
+                sessions.append((uid, start, end, n, round(sv, 6)))
+                start = end = ts; n, sv = 1, float(v)
+            else:
+                end = ts; n += 1; sv += float(v)
+        if start is not None:
+            sessions.append((uid, start, end, n, round(sv, 6)))
+    # the stream emits exactly the sessions closed before the final
+    # watermark = max(ts) - 30min; later ones remain open in state
+    final_wm = int(epdf["ts"].astype("int64").max() // 10**9) - 1800
+    closed = {s for s in sessions if s[2] + GAP_SECONDS < final_wm}
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.sum_value, 6))
+        for r in streamed.itertuples(index=False)
+    }
+    # every emitted session is a true batch session (never a corrupted one)
+    assert got <= {tuple(s) for s in sessions}
+    # and everything the watermark closed was emitted
+    assert closed <= got, (len(closed), len(got))
+    assert len(got) > 10  # sanity: the stream actually emitted sessions
