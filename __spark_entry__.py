@@ -541,6 +541,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": text_analysis.token_count,
         "text_fingerprint": text_analysis.fingerprint,
         "text_fingerprint_rolling": text_analysis.fingerprint_rolling,
+        "corpus_curation": text_analysis.corpus_curation,
         "dedup_embedding_cosine": ann.embedding_cosine_dups,
         "dedup_embedding_lsh": ann.dedup_embedding_lsh,
         "ann_bruteforce": ann.ann_bruteforce,
@@ -655,6 +656,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "text_token_count": text_analysis.token_count_oracle(),
         "text_fingerprint": text_analysis.fingerprint_oracle(),
         "text_fingerprint_rolling": text_analysis.fingerprint_rolling_oracle(),
+        "corpus_curation": text_analysis.corpus_curation_oracle(),
         "dedup_embedding_cosine": ann.embedding_cosine_dups_oracle(),
         "dedup_embedding_lsh": ann.dedup_embedding_lsh_oracle(),
         "ann_bruteforce": ann.ann_bruteforce_oracle(),

@@ -277,3 +277,114 @@ SELECT {spec.SQL_URL} AS url,
        md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint
 FROM documents
 """
+
+
+QUALITY_THRESHOLD = 0.45
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation pipeline, ONE declarative plan:
+    exact dedup (keep min-doc_id representative per md5) → language ID →
+    drop 'und' → quality gate (score >= QUALITY_THRESHOLD) → per-language
+    corpus stats. The shape that runs at 10^12 docs: one hash-groupBy for
+    dedup, a join back on doc_id, then pure narrow expressions and a final
+    tiny aggregation — no Python anywhere."""
+    from .dedup import dup_corpus
+
+    c = dup_corpus(spark, sf_dir)
+    reps = c.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs = c.join(reps.select("doc_id"), "doc_id")
+
+    words = F.split(F.col("text"), " ")
+    # language vote (same expressions as lang_id)
+    cands = []
+    for lang in sorted(STOPWORDS):
+        sw_arr = F.array(*[F.lit(x) for x in STOPWORDS[lang]])
+        hits = F.size(F.filter(words, lambda x: F.array_contains(sw_arr, x)))
+        cands.append(
+            F.struct((-hits).alias("neg"), F.lit(lang).alias("lang"),
+                     hits.cast("long").alias("hits"))
+        )
+    best = F.array_min(F.array(*cands))
+    pred_lang = F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"])
+    # quality (same formula as quality_score)
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_all = F.array(*[F.lit(x) for x in all_sw])
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(sw_all, x)))
+    quality = (
+        0.4 * (n_stop / n_words)
+        + 0.3 * (F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length("text"))
+        + 0.3 * F.least(n_words / F.lit(100.0), F.lit(1.0))
+    )
+    n_tokens = F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)"))
+
+    kept = (
+        docs.select(
+            pred_lang.alias("pred_lang"),
+            quality.alias("quality"),
+            n_tokens.cast("long").alias("n_tokens"),
+        )
+        .where(F.col("pred_lang") != "und")
+        .where(F.col("quality") >= QUALITY_THRESHOLD)
+    )
+    return kept.groupBy(
+        "pred_lang", F.round(F.col("quality"), 1).alias("quality_band")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.round(F.col("quality"), 6)), 4).alias("avg_quality"),
+    )
+
+
+def corpus_curation_oracle() -> str:
+    from .dedup import corpus_sql
+
+    values = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in STOPWORDS.items() for w in ws
+    )
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_list = "[" + ", ".join(f"'{x}'" for x in all_sw) + "]"
+    return f"""
+WITH {corpus_sql().strip()},
+reps AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+),
+docs AS (
+  SELECT c.doc_id, c.text FROM corpus c JOIN reps USING (doc_id)
+),
+sw(cand_lang, tok) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs
+),
+votes AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS n_hits
+  FROM toks JOIN sw USING (tok) GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, cand_lang ASC) AS rn
+  FROM votes
+),
+scored AS (
+  SELECT d.doc_id, b.pred_lang,
+         0.4 * (len(list_filter(string_split(d.text, ' '),
+                    x -> list_contains({sw_list}, x)))::DOUBLE
+                / len(string_split(d.text, ' '))) +
+         0.3 * (length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                / length(d.text)) +
+         0.3 * LEAST(len(string_split(d.text, ' ')) / 100.0, 1.0) AS quality,
+         len(regexp_extract_all(d.text, '{TOKEN_RE}')) AS n_tokens
+  FROM docs d JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+)
+SELECT pred_lang, ROUND(quality, 1) AS quality_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(ROUND(quality, 6)), 4) AS avg_quality
+FROM scored
+WHERE quality >= {QUALITY_THRESHOLD}
+GROUP BY pred_lang, ROUND(quality, 1)
+"""
