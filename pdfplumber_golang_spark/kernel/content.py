@@ -206,7 +206,8 @@ class Interpreter:
         (ADVICE r1)."""
         data, n = lex.data, len(lex.data)
         ws = b"\x00\t\n\x0c\r "
-        pos = data.find(b"EI", lex.pos)
+        first = data.find(b"EI", lex.pos)
+        pos = first
         while pos >= 0:
             before_ok = pos == 0 or data[pos - 1] in ws
             after_ok = pos + 2 >= n or data[pos + 2] in ws
@@ -214,7 +215,10 @@ class Interpreter:
                 lex.pos = pos + 2
                 return
             pos = data.find(b"EI", pos + 1)
-        lex.pos = n
+        # no delimited terminator at all (ISO 32000 does not require
+        # whitespace before EI): fall back to the first bare 'EI' rather
+        # than discarding the rest of the stream
+        lex.pos = n if first < 0 else first + 2
 
     # -------------------------------------------------------- dispatch ---
     def _dispatch(self, op: str, o: list) -> None:

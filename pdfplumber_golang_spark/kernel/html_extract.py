@@ -202,13 +202,20 @@ def extract_html_text(raw: bytes | str) -> str:
             flush()
         if not closing:
             # HTMLParser fires handle_startendtag (= start + immediate end,
-            # net zero state) only when, after the attributes, the remainder
-            # is exactly "/>" — i.e. the "/" follows whitespace, a quote, or
-            # nothing.  "<a href=x/>" is a START tag there (the "/" belongs
-            # to the unquoted attribute value), so mirror that exactly.
-            selfclosing = s3.endswith("/") and (
-                len(s3) == 1 or s3[-2] in ' \t\n\r\f"\''
-            )
+            # net zero state) when, after consuming the attributes, the
+            # remainder is exactly "/>".  The trailing "/" belongs to an
+            # attribute only when it is swallowed by an UNQUOTED value in
+            # progress — "<a href=x/>" is a START tag there — while a
+            # valueless attribute ("<a foo/>") or a completed quoted value
+            # ("<a href='x'/>") leaves the "/" to close the tag.  So: the
+            # last whitespace-separated chunk before the "/" keeps it iff
+            # it contains "=" and does not already end with a quote.
+            selfclosing = False
+            if s3.endswith("/"):
+                last = s3[:-1].rsplit(None, 1)[-1] if s3[:-1].split() else ""
+                selfclosing = (
+                    "=" not in last or last.endswith('"') or last.endswith("'")
+                )
             if selfclosing:
                 # start+end with no content: no link_depth / stack / cdata
                 # effect (and <script/> does NOT enter raw-text mode in

@@ -21,6 +21,8 @@ Defaults: snap=3.0, join=3.0, minTableSize=3, textTolerance=3.0 (:22-46).
 
 from __future__ import annotations
 
+import math
+
 from .. import spec
 from . import layout
 
@@ -28,6 +30,15 @@ SNAP_TOL = 3.0
 TEXT_TOL = 3.0
 GROUP_GAP = 30.0
 MIN_TABLE_SIZE = 3
+
+
+def _snap(p: float, tol: float) -> float:
+    """round(p/tol)*tol with Go math.Round semantics (half away from zero
+    — the reference uses math.Round, table_extractor.go:285/490/596/812),
+    which for the positive page coordinates equals floor(x+0.5).  Python's
+    built-in round() is banker's rounding and diverges on exact halves;
+    Spark F.round / DuckDB ROUND agree with the reference."""
+    return math.floor(p / tol + 0.5) * tol
 
 _TEXT, _FONT, _SIZE, _X0, _Y0, _X1, _Y1, _W, _H = range(9)
 
@@ -80,7 +91,7 @@ def unique_positions(lines: list, horizontal: bool, snap_tolerance: float = SNAP
     pos = set()
     for e in lines:
         p = e[1] if horizontal else e[0]
-        pos.add(round(p / snap_tolerance) * snap_tolerance)
+        pos.add(_snap(p, snap_tolerance))
     return sorted(pos)
 
 
@@ -164,8 +175,8 @@ def _row_rectangle_table(
     groups: dict[tuple[float, float], list] = {}
     for r in rects:
         key = (
-            round(r[0] / snap_tolerance) * snap_tolerance,
-            round(r[2] / snap_tolerance) * snap_tolerance,
+            _snap(r[0], snap_tolerance),
+            _snap(r[2], snap_tolerance),
         )
         groups.setdefault(key, []).append(r)
     aligned = max(groups.values(), key=len)
@@ -179,7 +190,7 @@ def _row_rectangle_table(
     # its own text-based path T12 uses (findAlignedColumnsFromWords).
     words = layout.extract_words(chars)
     counts = Counter(
-        round(w["x0"] / snap_tolerance) * snap_tolerance for w in words
+        _snap(w["x0"], snap_tolerance) for w in words
     )
     cols = sorted(p for p, n in counts.items() if n >= 3)
     if len(cols) < 2:
@@ -304,7 +315,7 @@ def _text_based(
 
     counts = Counter()
     for ln in lines:
-        seen = {round(wd["x0"] / snap_tolerance) * snap_tolerance for wd in ln}
+        seen = {_snap(wd["x0"], snap_tolerance) for wd in ln}
         counts.update(seen)
     need = max(2, int(0.3 * len(lines)))
     cols = sorted(p for p, c in counts.items() if c >= need)

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import spec
+from ..kernel.tables import MIN_TABLE_SIZE  # single source for both paths
 from .layout_ops import classify_orientation
 
 SNAP_TOL = 3.0
@@ -131,9 +132,6 @@ def fill_cells(cells: DataFrame, chars: DataFrame) -> DataFrame:
     )
 
 
-MIN_TABLE_SIZE = 3
-
-
 def text_tables(chars: DataFrame, min_table_size: int = MIN_TABLE_SIZE) -> DataFrame:
     """T12 relationally: word lines → aligned-column histogram →
     nearest-column assignment (findAlignedColumnsFromWords +
@@ -227,7 +225,11 @@ def extract_tables_relational(edges: DataFrame, chars: DataFrame) -> DataFrame:
     to T12 text detection (kernel/reference dispatch, ExtractTables
     :64-69). The anti-join keys are (url, page_no) — control-flow rows,
     never payload."""
-    lattice = fill_cells(lattice_cells(edges), chars)
+    # persist: the lattice subplan feeds both the union output and the
+    # covered-pages anti-join, and recomputing it re-runs the upstream
+    # char/edge extraction; the cached relation is cell rows, tiny next to
+    # the payload (caller may unpersist after materializing)
+    lattice = fill_cells(lattice_cells(edges), chars).persist()
     # rows >= minTableSize gate (table_extractor.go:118), twin of the
     # kernel's _line_based gate
     n_rows = F.max("row_no").over(

@@ -130,5 +130,9 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(600):
+        # never read a partially-drained memory table; stop the query so
+        # the fixed queryName does not leak into the next run either
+        q.stop()
+        raise TimeoutError("stream_sessionize drain exceeded 600s")
     return spark.table("stream_sessions")

@@ -81,5 +81,7 @@ def stream_windowed_event_counts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_windowed_event_counts drain exceeded 600s")
     return spark.table("windowed_events")

@@ -64,6 +64,10 @@ def test_fast_scanner_parity_with_reference_parser():
         b'<p>x <a href="y" /> plenty of plain words keep this block alive</p>',
         # unquoted attr value ending in '/': HTMLParser treats as START tag
         b"<p><a href=x/>linklinklink</a> tail words enough to pass filter</p>",
+        # valueless attribute before '/': startendtag in HTMLParser
+        b"<p>before <a foo/> plenty of plain words keep this block alive</p>",
+        b"<p>x <a href=y foo/> plenty of plain words keep this block y</p>",
+        b"<nav data-x/><p>content after self-closing nav with attr kept</p>",
         # self-closing script must not swallow following text as raw-text
         b"<script/><p>content after a self-closing script element</p>",
         b"<nav/><p>content after a self-closing nav element is kept</p>",

@@ -115,3 +115,20 @@ def test_inline_image_embedded_ei_bytes():
     got = "".join(c[0] for c in interp.chars)
     # old behavior resumed at the embedded 'EI' and emitted 'fake'
     assert got == "beforeafter"
+
+
+def test_inline_image_data_abutting_ei_recovers():
+    """ISO 32000 does not require whitespace before EI; when no delimited
+    terminator exists at all, fall back to the first bare 'EI' instead of
+    discarding the rest of the stream."""
+    from pdfplumber_golang_spark.kernel import content as C
+
+    f1 = C.Font(name="F1", base="H", cmap=None, two_byte=False)
+    interp = C.Interpreter(fonts={"F1": f1})
+    interp.run(
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (before) Tj ET\n"
+        b"BI /W 2 /H 2 /BPC 8 ID \x00\x01\x02\x03EI\n"  # data abuts EI
+        b"BT /F1 12 Tf 1 0 0 1 72 680 Tm (after) Tj ET\n"
+    )
+    got = "".join(c[0] for c in interp.chars)
+    assert "before" in got and "after" in got

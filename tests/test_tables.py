@@ -127,3 +127,15 @@ def test_api_page_extract_tables_kwargs():
     assert page.extract_tables(
         vertical_strategy="text", horizontal_strategy="text"
     ) != page.extract_tables()
+
+
+def test_snap_half_values_match_reference_and_spark_semantics():
+    """Exact-half coordinates must snap half-AWAY-from-zero (Go math.Round,
+    table_extractor.go:285) — Python's banker's round() would give 6 for
+    7.5/3; Spark F.round and DuckDB ROUND agree with the reference."""
+    from pdfplumber_golang_spark.kernel.tables import _snap
+
+    assert _snap(7.5, 3.0) == 9.0   # 2.5 -> 3 (banker's would say 2 -> 6.0)
+    assert _snap(4.5, 3.0) == 6.0   # 1.5 -> 2
+    assert _snap(7.4, 3.0) == 6.0
+    assert _snap(0.0, 3.0) == 0.0
