@@ -111,11 +111,9 @@ class Lexer:
                 return Token(NAME, m.group("name").decode("latin-1"))
             if g == "num":
                 raw = m.group("num")
-                if b"." in raw:
-                    return Token(NUM, float(raw))
                 try:
-                    return Token(NUM, int(raw))
-                except ValueError:
+                    return Token(NUM, float(raw) if b"." in raw else int(raw))
+                except ValueError:  # malformed number soup ('5.5.3', '..')
                     return Token(NUM, 0)
             if g == "kw":
                 return Token(KEYWORD, m.group("kw").decode("latin-1"))
@@ -197,11 +195,9 @@ class Lexer:
             j += 1
         raw = data[i:j]
         self.pos = j
-        if isfloat:
-            return Token(NUM, float(raw))
         try:
-            return Token(NUM, int(raw))
-        except ValueError:
+            return Token(NUM, float(raw) if isfloat else int(raw))
+        except ValueError:  # malformed number soup ('5.5.3', '..')
             return Token(NUM, 0)
 
     def _read_literal_string(self) -> Token:
