@@ -546,6 +546,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": ann.dedup_embedding_lsh,
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
+        "ann_ivf": ann.ann_ivf,
         "media_features": multimodal.media_features_q,
         "extract_tables_lattice": _q_extract_tables,
         "extract_tables_text": _q_extract_tables_text,
@@ -661,6 +662,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "dedup_embedding_lsh": ann.dedup_embedding_lsh_oracle(),
         "ann_bruteforce": ann.ann_bruteforce_oracle(),
         "ann_lsh": ann.ann_lsh_oracle(),
+        "ann_ivf": ann.ann_ivf_oracle(),
         "media_features": multimodal.media_features_oracle(),
         # lattice cells: rows are bottom-to-top (ascending PDF y — faithful
         # to createTableRegion, table_extractor.go:254-276), so cell (i, j)

@@ -394,3 +394,208 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        CAST(cand_id AS BIGINT) AS neighbor_id, ROUND(cos, 4) AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + probed cluster scan
+# ---------------------------------------------------------------------------
+
+IVF_K = 8        # coarse centroids
+IVF_ITERS = 2    # Lloyd iterations (unrolled in the oracle SQL)
+IVF_NPROBE = 2   # clusters probed per query
+IVF_SCALE = 1000  # fixed-point quantization for exact cross-engine k-means
+
+
+def _int_vecs(emb: DataFrame) -> DataFrame:
+    """Fixed-point copy of the vectors: k-means runs on BIGINT lists so
+    every distance, argmin and floor-averaged centroid is EXACT and
+    engine-independent (float k-means is order-sensitive and cannot be
+    hash-checked against an independent SQL implementation)."""
+    vi = F.transform(
+        F.col("v"), lambda x: F.round(x * IVF_SCALE, 0).cast("long")
+    )
+    return emb.select("vec_id", "v", vi.alias("vi"))
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (ties -> smallest cid). The centroid
+    side is IVF_K rows — always broadcast."""
+    d = _sqdist(F.col("vi"), F.col("ci"))
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id", "vi", "cid", d.alias("dist")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cid")).alias("b")
+    )
+    return best.select("vec_id", F.col("b.cid").alias("cid"))
+
+
+def _update(vecs: DataFrame, assign: DataFrame, cents: DataFrame) -> DataFrame:
+    """New centroid = element-wise floor(mean) of member vectors (exact
+    integer semantics); empty clusters keep their previous centroid."""
+    member = vecs.join(assign, "vec_id")
+    sums = member.select(
+        "cid",
+        F.explode(
+            F.zip_with(
+                F.col("vi"),
+                F.sequence(F.lit(0), F.size("vi") - 1),
+                lambda x, i: F.struct(i.alias("d"), x.alias("x")),
+            )
+        ).alias("e"),
+    ).groupBy("cid", "e.d").agg(
+        F.floor(F.sum("e.x") / F.count("*")).alias("c")
+    )
+    new = sums.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+        ).alias("ci_new")
+    )
+    return cents.join(new, "cid", "left").select(
+        "cid", F.coalesce("ci_new", "ci").alias("ci")
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic integer k-means (init = vectors 0..K-1,
+    IVF_ITERS Lloyd rounds) builds the coarse quantizer; each query probes
+    its IVF_NPROBE nearest clusters and exact cosine ranks only those
+    clusters' members. The scale path when bucket recall must be tunable
+    independently of hash randomness (nprobe), complementing ann_lsh."""
+    emb = _emb(spark, sf_dir)
+    vecs = _int_vecs(emb)
+    cents = vecs.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("vi").alias("ci")
+    )
+    for _ in range(IVF_ITERS):
+        assign = _assign(vecs, cents)
+        cents = _update(vecs, assign, cents)
+    final_assign = _assign(vecs, cents)
+
+    # queries probe their NPROBE nearest final centroids
+    qd = _sqdist(F.col("vi"), F.col("ci"))
+    qprobe = (
+        vecs.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents))
+        .select("vec_id", "cid", qd.alias("dist"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "cid")
+            ),
+        )
+        .where(F.col("rk") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        final_assign.where(F.col("vec_id") >= N_QUERIES)
+        .join(qprobe, "cid")
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    qv = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cand_id").cast("long").alias("neighbor_id"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+def ann_ivf_oracle() -> str:
+    """Same algorithm unrolled as SQL CTEs (exact integer k-means)."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(v.vi)),"
+        " d -> (v.vi[d] - c.ci[d]) * (v.vi[d] - c.ci[d])))"
+    )
+
+    def assign(vtab: str, ctab: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rk
+    FROM {vtab} v, {ctab} c
+  ) WHERE rk = 1
+)"""
+
+    def update(atab: str, prev: str, out: str) -> str:
+        return f"""
+{out}_sums AS (
+  SELECT a.cid, d,
+         CAST(FLOOR(SUM(v.vi[d])::DOUBLE / COUNT(*)) AS BIGINT) AS c
+  FROM {atab} a JOIN vecs v USING (vec_id),
+       (SELECT unnest(generate_series(1, {EMB_DIM})) AS d)
+  GROUP BY a.cid, d
+),
+{out} AS (
+  SELECT p.cid,
+         COALESCE(list(s.c ORDER BY s.d), p.ci) AS ci
+  FROM {prev} p LEFT JOIN {out}_sums s ON s.cid = p.cid
+  GROUP BY p.cid, p.ci
+)"""
+
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+vecs AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(ROUND(x * {IVF_SCALE}) AS BIGINT)) AS vi
+  FROM emb
+),
+cents0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, vi AS ci FROM vecs WHERE vec_id < {IVF_K}
+),{assign("vecs", "cents0", "assign1")},{update("assign1", "cents0", "cents1")},{assign("vecs", "cents1", "assign2")},{update("assign2", "cents1", "cents2")},{assign("vecs", "cents2", "final_assign")},
+qprobe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rk
+    FROM vecs v, cents2 c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT q.query_id, f.vec_id AS cand_id
+  FROM final_assign f JOIN qprobe q USING (cid)
+  WHERE f.vec_id >= {N_QUERIES}
+),
+scored AS (
+  SELECT c.query_id, c.cand_id,
+         list_sum(list_transform(generate_series(1, len(eq.v)), i -> eq.v[i] * ec.v[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(eq.v)), i -> eq.v[i] * eq.v[i])))
+          * sqrt(list_sum(list_transform(generate_series(1, len(ec.v)), i -> ec.v[i] * ec.v[i])))) AS cos
+  FROM cand c
+  JOIN emb eq ON eq.vec_id = c.query_id
+  JOIN emb ec ON ec.vec_id = c.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(cand_id AS BIGINT) AS neighbor_id, ROUND(cos, 4) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""

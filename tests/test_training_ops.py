@@ -131,3 +131,20 @@ def test_embedding_lsh_recall_vs_bruteforce(spark):
     got = set(zip(lsh.vec_a, lsh.vec_b))
     assert got <= want  # verify step guarantees no false positives
     assert len(got & want) / len(want) >= 0.9
+
+
+def test_ann_ivf_probed_scan_quality(spark):
+    """IVF: scores are true cosines; probing NPROBE of K clusters recovers
+    a reasonable share of the exact top-K (coverage-limited by design)."""
+    bf = ann.ann_bruteforce(spark, SF_DIR).toPandas()
+    ivf = ann.ann_ivf(spark, SF_DIR).toPandas()
+    bf_scores = {(q, n): c for q, n, c in
+                 zip(bf["query_id"], bf["neighbor_id"], bf["cosine"])}
+    for q, n, c in zip(ivf["query_id"], ivf["neighbor_id"], ivf["cosine"]):
+        if (q, n) in bf_scores:
+            assert abs(bf_scores[(q, n)] - c) < 1e-9
+    # every query produced a full (or cluster-limited) result list
+    assert (ivf.groupby("query_id").size() > 0).all()
+    hits = sum((q, n) in bf_scores for q, n in
+               zip(ivf["query_id"], ivf["neighbor_id"]))
+    assert hits / len(bf) >= 0.2  # nprobe=2 of 8 clusters
