@@ -96,38 +96,25 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def _signature(v_col):
-    """LSH signature: bit j = (dot(v, h_j) > 0) where hyperplane h_j has
-    ±1 weights from parity of md5 hex chars (portable, deterministic).
-    weight(j, d) = 2*(ascii(md5(j||'_'||d)[1]) % 2) - 1."""
-    bits = []
+def _signature_col():
+    """8-bit random-hyperplane signature over column ``v``: bit j =
+    (dot(v, h_j) > 0), hyperplane weights w[j][d] = md5-parity of
+    f"{j}_{d}" — the same deterministic convention the DuckDB oracle
+    derives in SQL.  Weights ride as ONE SQL literal (no per-row hashing,
+    no py4j literal storm; see _band_signatures for the measurement)."""
+    import hashlib
+
+    terms = []
     for j in range(LSH_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                v_col,
-                F.sequence(F.lit(0), F.size(v_col) - 1),
-                lambda x, d: x
-                * (
-                    (
-                        F.ascii(
-                            F.substring(
-                                F.md5(F.concat_ws("_", F.lit(j), d)), 1, 1
-                            )
-                        )
-                        % 2
-                    )
-                    * 2
-                    - 1
-                ).cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        w = "array(" + ",".join(
+            f"{float(2 * (ord(hashlib.md5(f'{j}_{d}'.encode()).hexdigest()[0]) % 2) - 1)}D"
+            for d in range(EMB_DIM)
+        ) + ")"
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with(v, {w}, (x, y) -> x * y), 0D,"
+            f" (a, x) -> a + x) > 0 THEN {1 << j} ELSE 0 END)"
         )
-        bits.append(F.when(proj > 0, 2 ** j).otherwise(0))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+    return F.expr(" + ".join(terms))
 
 
 COSINE_DUP_THRESHOLD = 0.35
@@ -334,7 +321,7 @@ FROM scored WHERE ROUND(cos, 4) >= {COSINE_DUP_THRESHOLD}
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: candidates restricted to the query's bucket.
     Output: (query_id, neighbor_id, cosine) for bucket-mates ranked top-K."""
-    emb = _emb(spark, sf_dir).withColumn("sig", _signature(F.col("v")).cast("int"))
+    emb = _emb(spark, sf_dir).withColumn("sig", _signature_col().cast("int"))
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "sig"
     )
