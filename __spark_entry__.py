@@ -63,6 +63,51 @@ def _q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.doc_text(pipeline.extract_pages(pages)).select("url", "text")
 
 
+def _q_extract_text_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source end-to-end: the HTML docs serialized as Common-Crawl
+    layout .warc.gz (one gzip member per record), read back through
+    sources/warc.read_warc_pages (binaryFile scan -> mapInPandas record
+    parser), routed through extraction — output must equal the same html
+    goldens the pages-table path produces (source parity, S1/S15)."""
+    import datetime
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pdfplumber_golang_spark.kernel.htmlwrite import build_html
+    from pdfplumber_golang_spark.sources import warc as W
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.expr(spec.SQL_IS_HTML))
+        .toPandas()
+    )
+    epoch = datetime.datetime(2024, 1, 1)
+    files: dict[int, list] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        doc_id = int(doc_id)
+        rec = (
+            spec.url_of(doc_id),
+            epoch + datetime.timedelta(seconds=13 * doc_id),
+            build_html(doc_id, spec.body_of(doc_id, text)),
+        )
+        files.setdefault(doc_id % 8, []).append(rec)
+    root = tempfile.mkdtemp(prefix="warc_q_")
+    try:
+        for k, recs in files.items():
+            with open(_os.path.join(root, f"part-{k}.warc.gz"), "wb") as f:
+                f.write(W.build_warc(recs, gz=True))
+        pages = W.read_warc_pages(spark, root)
+        out = pipeline.doc_text(pipeline.extract_pages(pages)).select(
+            "url", "text"
+        )
+        pdf = out.toPandas()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
 def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF parse + layout: extracted text per url (byte-identity)."""
     pages = load_or_build_pages(spark, sf_dir).where(
@@ -519,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text_html": _q_extract_html,
+        "extract_text_warc": _q_extract_text_warc,
         "extract_text_pdf": _q_extract_pdf,
         "pdf_page_counts": _q_page_counts,
         "error_routing": _q_error_routing,
@@ -572,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
     per_page = spec.PDF_LINES_PER_PAGE
     return {
         "extract_text_html": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
+        "extract_text_warc": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
         "extract_text_pdf": spec.pdf_golden_duckdb_sql(spec.SQL_IS_PDF),
         # n_lines = ceil(len/80); multipage docs have ceil(n_lines/3) pages,
         # others 1 page (driver docs are < 3200 chars); n_chars = len(text)
