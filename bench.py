@@ -97,10 +97,10 @@ def main() -> None:
     big = spark.read.parquet(_scale_corpus(repeat))
     # warm every Python worker (package import paid outside the timing)
     pipeline.extract_pages(big.limit(3000), parallelism=CPUS).count()
-    # best-of-2: same methodology as the scaling harness (this box's
-    # background noise swings absolute throughput ±20%)
+    # best-of-3: same methodology as the scaling harness (this box's
+    # background noise swings absolute throughput 2x between windows)
     big_secs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         rows = pipeline.extract_pages(big, parallelism=CPUS)
         agg = pipeline.doc_text(rows).agg(
