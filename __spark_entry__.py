@@ -108,6 +108,33 @@ def _q_extract_text_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
+def _q_extract_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resumable checkpointed runner (plans/checkpoint.run_checkpointed:
+    url-hash buckets, per-bucket lineage + metrics, overwrite-idempotent
+    groups) driven end-to-end: its materialized output must reassemble to
+    the SAME byte-identical goldens as the direct path — the north rule's
+    checkpoint/resume machinery under the hash gate, not just pytest."""
+    import shutil
+    import tempfile
+
+    from pdfplumber_golang_spark.plans import checkpoint
+
+    pages = load_or_build_pages(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ckpt_q_")
+    try:
+        checkpoint.run_checkpointed(
+            spark, pages, root, n_buckets=8, group_size=4, parallelism=16
+        )
+        rows = spark.read.parquet(os.path.join(root, "pages"))
+        out = pipeline.doc_text(rows.drop("bucket", "group")).select(
+            "url", "text"
+        )
+        pdf = out.toPandas()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
 def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF parse + layout: extracted text per url (byte-identity)."""
     pages = load_or_build_pages(spark, sf_dir).where(
@@ -565,6 +592,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text_html": _q_extract_html,
         "extract_text_warc": _q_extract_text_warc,
+        "extract_text_checkpointed": _q_extract_checkpointed,
         "extract_text_pdf": _q_extract_pdf,
         "pdf_page_counts": _q_page_counts,
         "error_routing": _q_error_routing,
@@ -619,6 +647,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_text_html": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
         "extract_text_warc": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
+        "extract_text_checkpointed": (
+            spec.html_golden_duckdb_sql(spec.SQL_IS_HTML)
+            + " UNION ALL "
+            + spec.pdf_golden_duckdb_sql(spec.SQL_IS_PDF)
+        ),
         "extract_text_pdf": spec.pdf_golden_duckdb_sql(spec.SQL_IS_PDF),
         # n_lines = ceil(len/80); multipage docs have ceil(n_lines/3) pages,
         # others 1 page (driver docs are < 3200 chars); n_chars = len(text)
