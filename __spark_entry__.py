@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pdfplumber_golang_spark import pipeline, spec
 from pdfplumber_golang_spark.functions import ann, dedup, multimodal, text_analysis
 from pdfplumber_golang_spark.operators import layout_ops, synth_rel, table_ops
+from pdfplumber_golang_spark.plans import cache as plan_cache
 from pdfplumber_golang_spark.sources.pagesgen import (
     build_graphics_pages,
     build_curves_pages,
@@ -393,7 +394,7 @@ def _q_extract_tables_text_relational(spark, sf_dir):
     # it the PDF build+parse mapInPandas runs twice (measured 21 s -> 9 s
     # at sf0.1). At scale the source is a real table and this is a cheap
     # double scan instead.
-    pages = build_texttable_pages(spark, sf_dir).persist()
+    pages = plan_cache.persist(build_texttable_pages(spark, sf_dir))
     edges = pipeline.extract_edges(pages)
     chars = pipeline.extract_chars(pages)
     return table_ops.extract_tables_relational(edges, chars).select(
@@ -560,7 +561,7 @@ def _q_events_windowed(spark, sf_dir):
 def _q_extract_tables_relational(spark, sf_dir):
     """T2+T5+T6 as pure DataFrame algebra: lattice from distinct snapped
     cuts, cell fill via page-keyed range join — same cells as the kernel."""
-    pages = build_graphics_pages(spark, sf_dir).persist()  # two consumers
+    pages = plan_cache.persist(build_graphics_pages(spark, sf_dir))  # two consumers
     edges = pipeline.extract_edges(pages)
     chars = pipeline.extract_chars(pages)
     return table_ops.extract_tables_relational(edges, chars).select(
@@ -574,6 +575,10 @@ def _q_extract_tables_relational(spark, sf_dir):
 def _shipped(fn: Callable) -> Callable:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
+        # release the PREVIOUS query's persisted intermediates (its result
+        # is materialized by the time the harness builds the next query) —
+        # bounds cache accumulation in long-lived drivers (ADVICE r2)
+        plan_cache.release()
         return fn(spark, sf_dir)
 
     wrapper.__doc__ = fn.__doc__

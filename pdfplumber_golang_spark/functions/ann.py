@@ -20,15 +20,27 @@ from pyspark.sql import functions as F
 N_QUERIES = 5   # vec_id < N_QUERIES are the query set
 TOP_K = 10
 LSH_PLANES = 8  # random-hyperplane signature bits
+EMB_DIM = 64    # embeddings.parquet vector width; every hyperplane weight
+# matrix below is an EMB_DIM-wide SQL literal, so a different vector width
+# must fail LOUDLY at execution — zip_with would otherwise silently
+# null-pad the projection and collapse signature bits to 0 (ADVICE r2).
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    guarded = F.when(F.size(F.col("embedding")) == EMB_DIM, v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding width != {EMB_DIM} for vec_id="),
+                F.col("vec_id").cast("string"),
+                F.lit(": got "),
+                F.size(F.col("embedding")).cast("string"),
+            )
+        )
+    )
     return (
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        .select(
-            "vec_id",
-            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-        )
+        .select("vec_id", guarded.alias("v"))
     )
 
 
@@ -166,7 +178,6 @@ FROM scored WHERE ROUND(cos, 4) >= {COSINE_DUP_THRESHOLD}
 # LSH-bucketed embedding near-dup (the scale path; VERDICT r1 item #1)
 # ---------------------------------------------------------------------------
 
-EMB_DIM = 64                 # embeddings.parquet vector width
 NEARDUP_BANDS = 16           # B bands: recall = 1 - (1 - p^r)^B
 NEARDUP_PLANES_PER_BAND = 4  # r planes/band -> 2^r buckets per band.
 # At cos = 0.35 the per-plane collision prob is p = 1 - acos(0.35)/pi = 0.614,
@@ -537,7 +548,12 @@ def ann_ivf_oracle() -> str:
 ),
 {out} AS (
   SELECT p.cid,
-         COALESCE(list(s.c ORDER BY s.d), p.ci) AS ci
+         -- empty cluster keeps its previous centroid (matches the Spark
+         -- side's coalesce('ci_new','ci')).  COALESCE over list() would
+         -- be dead here: list(s.c) on the unmatched LEFT JOIN row yields
+         -- [NULL], which is non-NULL (ADVICE r2).
+         CASE WHEN COUNT(s.c) = 0 THEN p.ci
+              ELSE list(s.c ORDER BY s.d) END AS ci
   FROM {prev} p LEFT JOIN {out}_sums s ON s.cid = p.cid
   GROUP BY p.cid, p.ci
 )"""

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import spec
+from ..plans import cache
 
 MINHASH_K = 8          # minhash functions
 LSH_BAND_SIZE = 2      # rows per band -> 4 bands
@@ -247,7 +248,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sh feeds three consumers (sizes + both join sides); Catalyst has no
     # cross-join CSE, so persist avoids recomputing the explode+distinct.
     # At cluster scale this would be a parquet checkpoint instead.
-    sh = sh.join(df_ok.select("shingle"), "shingle").persist()
+    sh = cache.persist(sh.join(df_ok.select("shingle"), "shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

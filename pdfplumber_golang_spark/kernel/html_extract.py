@@ -205,17 +205,25 @@ def extract_html_text(raw: bytes | str) -> str:
             # net zero state) when, after consuming the attributes, the
             # remainder is exactly "/>".  The trailing "/" belongs to an
             # attribute only when it is swallowed by an UNQUOTED value in
-            # progress — "<a href=x/>" is a START tag there — while a
-            # valueless attribute ("<a foo/>") or a completed quoted value
-            # ("<a href='x'/>") leaves the "/" to close the tag.  So: the
-            # last whitespace-separated chunk before the "/" keeps it iff
-            # it contains "=" and does not already end with a quote.
+            # progress with no whitespace before the "/" — "<a href=x/>"
+            # and "<a href= y/>" are START tags there — while whitespace
+            # before the "/" ("<a href=y />"), a valueless attribute
+            # ("<a foo/>"), or a completed quoted value ("<a href='x'/>")
+            # leaves the "/" to close the tag.
             selfclosing = False
             if s3.endswith("/"):
-                last = s3[:-1].rsplit(None, 1)[-1] if s3[:-1].split() else ""
-                selfclosing = (
-                    "=" not in last or last.endswith('"') or last.endswith("'")
-                )
+                head = s3[:-1]
+                if head == "" or head[-1].isspace():
+                    selfclosing = True
+                else:
+                    parts = head.split()
+                    last = parts[-1]
+                    prev = parts[-2] if len(parts) > 1 else ""
+                    in_value = (
+                        "=" in last
+                        and not last.endswith(('"', "'"))
+                    ) or ("=" not in last and prev.endswith("="))
+                    selfclosing = not in_value
             if selfclosing:
                 # start+end with no content: no link_depth / stack / cdata
                 # effect (and <script/> does NOT enter raw-text mode in

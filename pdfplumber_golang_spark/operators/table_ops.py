@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .. import spec
 from ..kernel.tables import MIN_TABLE_SIZE  # single source for both paths
+from ..plans import cache
 from .layout_ops import classify_orientation
 
 SNAP_TOL = 3.0
@@ -228,8 +229,9 @@ def extract_tables_relational(edges: DataFrame, chars: DataFrame) -> DataFrame:
     # persist: the lattice subplan feeds both the union output and the
     # covered-pages anti-join, and recomputing it re-runs the upstream
     # char/edge extraction; the cached relation is cell rows, tiny next to
-    # the payload (caller may unpersist after materializing)
-    lattice = fill_cells(lattice_cells(edges), chars).persist()
+    # the payload.  Registered with plans.cache so the harness releases it
+    # after the result is materialized (ADVICE r2: never leaked again).
+    lattice = cache.persist(fill_cells(lattice_cells(edges), chars))
     # rows >= minTableSize gate (table_extractor.go:118), twin of the
     # kernel's _line_based gate
     n_rows = F.max("row_no").over(

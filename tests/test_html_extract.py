@@ -64,6 +64,17 @@ def test_fast_scanner_parity_with_reference_parser():
         b'<p>x <a href="y" /> plenty of plain words keep this block alive</p>',
         # unquoted attr value ending in '/': HTMLParser treats as START tag
         b"<p><a href=x/>linklinklink</a> tail words enough to pass filter</p>",
+        # whitespace before '/>': the unquoted value already ended, so the
+        # '/' closes the tag — startendtag (ADVICE r2 medium: fast path
+        # treated this as a start tag and leaked link_depth)
+        b"<p>x <a href=y /> plenty of plain words keep this block alive</p>",
+        b"<p>x <a href=y  /> extra space plain words keep this block ok</p>",
+        # unquoted value CONTINUED after '=' whitespace: '/' is part of the
+        # value "y/" in HTMLParser's tolerant attr regex -> START tag
+        b"<p><a href= y/>linkvalue</a> tail words enough to pass filter</p>",
+        b"<p><a href = y/>linkval</a> tail words enough to pass a filter</p>",
+        b"<p><a href=/>slashvalue</a> tail words enough to pass a filter</p>",
+        b'<p>x <a href=""/> plenty of plain words keep this block alive</p>',
         # valueless attribute before '/': startendtag in HTMLParser
         b"<p>before <a foo/> plenty of plain words keep this block alive</p>",
         b"<p>x <a href=y foo/> plenty of plain words keep this block y</p>",

@@ -148,3 +148,18 @@ def test_ann_ivf_probed_scan_quality(spark):
     hits = sum((q, n) in bf_scores for q, n in
                zip(ivf["query_id"], ivf["neighbor_id"]))
     assert hits / len(bf) >= 0.2  # nprobe=2 of 8 clusters
+
+
+def test_emb_dim_guard_raises_on_wrong_width(spark, tmp_path):
+    """A non-EMB_DIM embeddings table must fail loudly, not silently
+    null-pad zip_with projections into all-zero signature bits (ADVICE r2:
+    the weight matrices are EMB_DIM-wide SQL literals)."""
+    import pandas as pd
+
+    sf = tmp_path / "sf_bad"
+    sf.mkdir()
+    pd.DataFrame(
+        {"vec_id": [0, 1], "embedding": [[0.1] * 3, [0.2] * 3]}
+    ).to_parquet(sf / "embeddings.parquet")
+    with pytest.raises(Exception, match="embedding width"):
+        ann._emb(spark, str(sf)).collect()
