@@ -65,11 +65,36 @@ def main() -> None:
     # timing, like the Iceberg table it stands in for)
     load_or_build_pages(spark, SF_DIR).count()
 
-    timings: dict[str, float] = {}
+    # Same-window hardware calibration (VERDICT r2 #1): this shared box's
+    # absolute speed swings ~2x between windows on git-identical code, so
+    # every BENCH_rN stamps (a) best-of-N per query and (b) the box's raw
+    # multiprocess zlib throughput measured immediately before AND after
+    # the query loop.  Cross-round comparison = normalize each query's
+    # best-of-N by the calib ratio; a "regression" inside the calib delta
+    # is box noise, not code.
+    best_of = int(os.environ.get("SPARK_GRAFT_BENCH_BESTOF", "3"))
+    calib_before = box_speed()
 
-    t0 = time.perf_counter()
-    n_docs, n_pages = run_extraction(spark, SF_DIR, parallelism=CPUS)
-    timings["extract_full"] = round(time.perf_counter() - t0, 3)
+    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+
+    def timed(name: str, fn) -> None:
+        secs = []
+        for _ in range(best_of):
+            t0 = time.perf_counter()
+            fn()
+            secs.append(round(time.perf_counter() - t0, 3))
+        runs[name] = secs
+        timings[name] = min(secs)
+
+    extract_counts: list[tuple[int, int]] = []
+    timed(
+        "extract_full",
+        lambda: extract_counts.append(
+            run_extraction(spark, SF_DIR, parallelism=CPUS)
+        ),
+    )
+    n_docs, n_pages = extract_counts[0]
 
     import __spark_entry__ as E
 
@@ -81,9 +106,7 @@ def main() -> None:
         "text_langid",
         "ann_bruteforce",
     ):
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timed(name, lambda: qs[name](spark, SF_DIR).count())
 
     # big-corpus extraction (VERDICT r1 #7): the kernel-dominated number —
     # at ~160x the sf0.1 corpus the ~4s fixed stage overhead is <2% of
@@ -97,25 +120,32 @@ def main() -> None:
     big = spark.read.parquet(_scale_corpus(repeat))
     # warm every Python worker (package import paid outside the timing)
     pipeline.extract_pages(big.limit(3000), parallelism=CPUS).count()
-    # best-of-3: same methodology as the scaling harness (this box's
-    # background noise swings absolute throughput 2x between windows)
-    big_secs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    big_counts: list[int] = []
+
+    def run_big() -> None:
         rows = pipeline.extract_pages(big, parallelism=CPUS)
         agg = pipeline.doc_text(rows).agg(
             F.count("*").alias("docs"), F.sum("n_pages").alias("pages")
         ).collect()[0]
-        big_secs.append(round(time.perf_counter() - t0, 3))
-    timings["extract_big"] = min(big_secs)
-    big_docs = int(agg["docs"])
+        big_counts.append(int(agg["docs"]))
 
+    timed("extract_big", run_big)
+    big_docs = big_counts[0]
+
+    calib_after = box_speed()
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "extraction+ops wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_runs": runs,
+        "best_of": best_of,
+        "calib_zlib_kops_per_sec": {
+            "before": calib_before,
+            "after": calib_after,
+        },
+        "hw_ceiling_eff": hw_ceiling(4),
         "sf": _sf_tag(SF_DIR),
         "docs": n_docs,
         "pages": n_pages,
@@ -186,6 +216,24 @@ def _scale_corpus(repeat: int, n_files: int = 256) -> str:
     if active is None:
         spark.stop()
     return path
+
+
+def box_speed(nproc: int = 16, total_kops: int = 96) -> float:
+    """Absolute same-window hardware calibration: multiprocess zlib
+    compress+decompress round-trips (in thousands) per second at ``nproc``
+    workers — the raw speed of the resource the extraction kernel is bound
+    on.  Stamped before/after the headline query loop so BENCH_rN numbers
+    are comparable across rounds on this noisy shared box: normalize a
+    query's best-of-N by the calib ratio before calling it a regression."""
+    import multiprocessing as mp
+
+    total = total_kops * 1000
+    with mp.Pool(nproc) as p:
+        p.map(_HW_WORK, [50] * nproc)  # warm the workers
+        t0 = time.perf_counter()
+        p.map(_HW_WORK, [total // nproc] * nproc, chunksize=1)
+        dt = time.perf_counter() - t0
+    return round(total / dt / 1000.0, 2)
 
 
 def hw_ceiling(n: int) -> float:
