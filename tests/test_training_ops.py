@@ -163,3 +163,66 @@ def test_emb_dim_guard_raises_on_wrong_width(spark, tmp_path):
     ).to_parquet(sf / "embeddings.parquet")
     with pytest.raises(Exception, match="embedding width"):
         ann._emb(spark, str(sf)).collect()
+
+
+def test_png_pixel_decode_all_filters_and_color_types():
+    """decode_png_pixels must invert every scanline filter (None/Sub/Up/
+    Average/Paeth) for every 8-bit color type — verified by round-tripping
+    random pixels through an encoder that forces each filter, with a real
+    (non-stored) zlib stream (VERDICT r2 #2)."""
+    import random
+    import struct
+    import zlib
+
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    def make_png(w, h, color, pix, ftype):
+        bpp = mm._PNG_CHANNELS[color]
+        prev, raw = b"", b""
+        for y in range(h):
+            line = pix[y * w * bpp : (y + 1) * w * bpp]
+            raw += bytes([ftype]) + mm._filter_scanline(ftype, line, prev, bpp)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            mm._PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + mm._png_chunk(b"IEND", b"")
+        )
+
+    rng = random.Random(7)
+    for color in (0, 2, 4, 6):
+        bpp = mm._PNG_CHANNELS[color]
+        w, h = 6, 5
+        pix = bytes(rng.randrange(256) for _ in range(w * h * bpp))
+        for ftype in range(5):
+            got = mm.decode_png_pixels(make_png(w, h, color, pix, ftype))
+            assert got == (w, h, bpp, pix), (color, ftype)
+
+
+def test_png_fixture_pixels_closed_form():
+    """The synthetic PNG (filtered with type y%5 per scanline) decodes to
+    the closed-form pixel (x*7+y)%256 the oracle states, and its length
+    formula survives the filtering."""
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    for w, h in [(1, 1), (5, 7), (64, 48)]:
+        b = mm.png_bytes(w, h)
+        assert len(b) == 68 + h * (w + 1)
+        ww, hh, bpp, px = mm.decode_png_pixels(b)
+        assert (ww, hh, bpp) == (w, h, 1)
+        assert px == bytes(
+            (x * 7 + y) % 256 for y in range(h) for x in range(w)
+        )
+
+
+def test_decode_pixels_dispatch():
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    w, h, bpp, px = mm.decode_pixels(mm.png_bytes(3, 2))
+    assert (w, h, bpp) == (3, 2, 1) and len(px) == 6
+    with pytest.raises(NotImplementedError):
+        mm.decode_pixels(mm.jpeg_bytes(3, 2))
+    with pytest.raises(ValueError):
+        mm.decode_png_pixels(b"\x89PNG\r\n\x1a\njunk")
