@@ -64,6 +64,19 @@ def _q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.doc_text(pipeline.extract_pages(pages)).select("url", "text")
 
 
+def _q_extract_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew remedy under the byte-identity gate (VERDICT r2 #5): the same
+    HTML extraction as extract_text_html but with salt=True and the
+    mega-doc threshold forced down to 1 KiB, so BOTH salt branches run —
+    roughly half the corpus (payloads > 1 KiB) scatters into the N_SALT
+    mega buckets, the rest takes the url-hash path.  The oracle is the
+    UNCHANGED html golden: a green row proves the salting repartition is
+    output-invariant (it only moves rows between partitions)."""
+    pages = load_or_build_pages(spark, sf_dir).where(F.col("variant") == "html")
+    rows = pipeline.extract_pages(pages, salt=True, mega_bytes=1024)
+    return pipeline.doc_text(rows).select("url", "text")
+
+
 def _q_extract_text_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source end-to-end: the HTML docs serialized as Common-Crawl
     layout .warc.gz (one gzip member per record), read back through
@@ -126,6 +139,48 @@ def _q_extract_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint.run_checkpointed(
             spark, pages, root, n_buckets=8, group_size=4, parallelism=16
         )
+        rows = spark.read.parquet(os.path.join(root, "pages"))
+        out = pipeline.doc_text(rows.drop("bucket", "group")).select(
+            "url", "text"
+        )
+        pdf = out.toPandas()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+def _q_extract_ckpt_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill-after-k-buckets RESUME under the hash gate (VERDICT r2 #7):
+    the first run_checkpointed invocation stops after one bucket group
+    (max_groups=1 — the simulated preemption), the second resumes from
+    the lineage table.  Before returning the reassembled text (which must
+    still be byte-identical to the direct-path goldens), the query asserts
+    from lineage that the first group's buckets were NOT recomputed: they
+    keep the first run_id, appear exactly once, and the resume reports
+    them as already done."""
+    import shutil
+    import tempfile
+
+    from pdfplumber_golang_spark.plans import checkpoint
+
+    pages = load_or_build_pages(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ckpt_rsm_")
+    try:
+        st1 = checkpoint.run_checkpointed(
+            spark, pages, root, n_buckets=8, group_size=4, parallelism=16,
+            max_groups=1,
+        )
+        st2 = checkpoint.run_checkpointed(
+            spark, pages, root, n_buckets=8, group_size=4, parallelism=16
+        )
+        lin = checkpoint.lineage_table(spark, root).toPandas()
+        assert st1["buckets_run"] == 4 and st2["buckets_done_before"] == 4
+        run_ids = sorted(lin["run_id"].unique())
+        assert len(run_ids) == 2, run_ids
+        first = lin[lin["run_id"] == run_ids[0]]
+        # the crashed run's buckets survive resume untouched: one lineage
+        # row each, still stamped with the first run_id
+        assert len(first) == 4 and lin["bucket"].nunique() == len(lin)
         rows = spark.read.parquet(os.path.join(root, "pages"))
         out = pipeline.doc_text(rows.drop("bucket", "group")).select(
             "url", "text"
@@ -597,7 +652,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text_html": _q_extract_html,
         "extract_text_warc": _q_extract_text_warc,
+        "extract_text_salted": _q_extract_salted,
         "extract_text_checkpointed": _q_extract_checkpointed,
+        "extract_text_ckpt_resume": _q_extract_ckpt_resume,
         "extract_text_pdf": _q_extract_pdf,
         "pdf_page_counts": _q_page_counts,
         "error_routing": _q_error_routing,
@@ -654,7 +711,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_text_html": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
         "extract_text_warc": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
+        "extract_text_salted": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
         "extract_text_checkpointed": (
+            spec.html_golden_duckdb_sql(spec.SQL_IS_HTML)
+            + " UNION ALL "
+            + spec.pdf_golden_duckdb_sql(spec.SQL_IS_PDF)
+        ),
+        "extract_text_ckpt_resume": (
             spec.html_golden_duckdb_sql(spec.SQL_IS_HTML)
             + " UNION ALL "
             + spec.pdf_golden_duckdb_sql(spec.SQL_IS_PDF)

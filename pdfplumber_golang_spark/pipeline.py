@@ -126,7 +126,12 @@ def _char_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def _salted(pages: DataFrame, parallelism: int, salt: bool) -> DataFrame:
+def _salted(
+    pages: DataFrame,
+    parallelism: int,
+    salt: bool,
+    mega_bytes: int = MEGA_BYTES,
+) -> DataFrame:
     """Prune to (url, html); optionally spread docs by url-hash + mega salt.
 
     Shuffling raw payload bytes is expensive (measured: the repartition of
@@ -141,16 +146,20 @@ def _salted(pages: DataFrame, parallelism: int, salt: bool) -> DataFrame:
     if not salt:
         return pruned
     salt_col = F.when(
-        F.length("html") > MEGA_BYTES, F.pmod(F.xxhash64("url", F.lit(1)), F.lit(N_SALT))
+        F.length("html") > mega_bytes,
+        F.pmod(F.xxhash64("url", F.lit(1)), F.lit(N_SALT)),
     ).otherwise(F.lit(0))
     return pruned.repartition(parallelism, F.xxhash64("url"), salt_col)
 
 
 def extract_pages(
-    pages: DataFrame, parallelism: int = 32, salt: bool = False
+    pages: DataFrame,
+    parallelism: int = 32,
+    salt: bool = False,
+    mega_bytes: int = MEGA_BYTES,
 ) -> DataFrame:
     """pages table → per-page extraction rows (the core stage)."""
-    return _salted(pages, parallelism, salt).mapInPandas(
+    return _salted(pages, parallelism, salt, mega_bytes).mapInPandas(
         _extract_batches, schema=PAGE_ROWS_SCHEMA
     )
 

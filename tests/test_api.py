@@ -72,3 +72,40 @@ def test_extract_text_option_stragglers():
     assert page.extract_text(unicode_norm="NFKD") == unicodedata.normalize(
         "NFKD", base
     )
+
+
+def test_get_objects_properties_roundtrip():
+    """GetType/GetBBox/GetProperties parity view (interfaces.go:66-77,
+    types.go:95-215; VERDICT r2 #6): every object kind answers the
+    reference's property keys, and the views round-trip the kernel
+    tuples' geometry."""
+    data, _ = build_pdf(6, TEXT.strip(), "pdf_graphics")
+    page = api.open_bytes(data).get_page(1)
+    objs = page.get_objects()
+    assert set(objs) == {"char", "line", "rect", "curve"}
+    assert objs["char"] and objs["line"]
+
+    ch = objs["char"][0]
+    assert ch.get_type() == "char"
+    p = ch.get_properties()
+    assert set(p) == {"text", "font", "font_size", "color"}
+    assert p["text"] == page.chars[0][0]
+    x0, y0, x1, y1 = ch.get_bbox()
+    assert (x0, y0, x1, y1) == tuple(page.chars[0][3:7])
+    assert x0 <= x1 and y0 <= y1
+
+    ln = objs["line"][0]
+    assert set(ln.get_properties()) == {"width", "stroke_color", "non_stroking"}
+    bx = ln.get_bbox()
+    assert bx[0] <= bx[2] and bx[1] <= bx[3]  # normalized even when reversed
+
+    for r in objs["rect"]:
+        assert set(r.get_properties()) == {
+            "width", "stroke_color", "fill_color", "non_stroking"
+        }
+    for c in objs["curve"]:
+        pr = c.get_properties()
+        assert set(pr) == {"points", "stroke_color", "fill_color", "width"}
+        assert pr["points"]
+    # pythonic alias
+    assert ch.properties() == ch.get_properties()

@@ -77,3 +77,17 @@ def test_pruned_documents_scan_omits_payload(spark):
     assert scans, plan
     for ln in scans:
         assert "html" not in ln and "raw" not in ln, ln
+
+
+def test_salted_extraction_exchanges_on_url_hash(spark):
+    """The salted gate query must actually repartition on (xxhash64(url),
+    salt) — otherwise its byte-identity row would be vacuous — while the
+    default path stays scan-aligned (no payload exchange)."""
+    from pdfplumber_golang_spark import pipeline
+    from pdfplumber_golang_spark.sources.pagesgen import load_or_build_pages
+
+    pages = load_or_build_pages(spark, SF_DIR).where("variant = 'html'")
+    salted = _executed_plan(pipeline.extract_pages(pages, salt=True, mega_bytes=1024))
+    assert "xxhash64" in salted, salted
+    plain = _executed_plan(pipeline.extract_pages(pages))
+    assert "xxhash64" not in plain, plain
