@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdfplumber_golang_spark import pipeline, spec
-from pdfplumber_golang_spark.functions import ann, dedup, multimodal, text_analysis
+from pdfplumber_golang_spark.functions import ann, curation, dedup, multimodal, text_analysis
 from pdfplumber_golang_spark.operators import layout_ops, synth_rel, table_ops
 from pdfplumber_golang_spark.plans import cache as plan_cache
 from pdfplumber_golang_spark.sources.pagesgen import (
@@ -679,6 +679,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_analysis.fingerprint,
         "text_fingerprint_rolling": text_analysis.fingerprint_rolling,
         "corpus_curation": text_analysis.corpus_curation,
+        "curation_gopher": curation.gopher_quality,
+        "curation_c4_line_dedup": curation.c4_line_dedup,
+        "curation_domain_cap": curation.domain_cap,
         "dedup_embedding_cosine": ann.embedding_cosine_dups,
         "dedup_embedding_lsh": ann.dedup_embedding_lsh,
         "ann_bruteforce": ann.ann_bruteforce,
@@ -809,6 +812,9 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "text_fingerprint": text_analysis.fingerprint_oracle(),
         "text_fingerprint_rolling": text_analysis.fingerprint_rolling_oracle(),
         "corpus_curation": text_analysis.corpus_curation_oracle(),
+        "curation_gopher": curation.gopher_quality_oracle(),
+        "curation_c4_line_dedup": curation.c4_line_dedup_oracle(),
+        "curation_domain_cap": curation.domain_cap_oracle(),
         "dedup_embedding_cosine": ann.embedding_cosine_dups_oracle(),
         "dedup_embedding_lsh": ann.dedup_embedding_lsh_oracle(),
         "ann_bruteforce": ann.ann_bruteforce_oracle(),

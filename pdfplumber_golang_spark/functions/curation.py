@@ -1,0 +1,248 @@
+"""Web-corpus curation operators beyond the dedup family: Gopher-style
+quality rules, C4-style global line dedup, and per-domain caps.
+
+These are the remaining standard stages of a large-scale training-data
+pipeline (Rae et al. 2021 "Scaling Language Models" appendix A1.1; Raffel
+et al. 2020 C4 §2.2; public Common-Crawl curation practice).  Shapes are
+chosen for 100 TB:
+
+  * ``gopher_quality`` — one narrow projection, all metrics as JVM array
+    expressions except the top-bigram fraction, which is one explode +
+    map-side-combinable groupBy (bigram count per doc, max per doc);
+  * ``c4_line_dedup`` — global first-occurrence line dedup is ONE window
+    over the line hash (equivalently a groupBy(line) keeping min key);
+    shuffle rows are (line, url, pos) — no payload;
+  * ``domain_cap`` — one window over the host partition; the standard
+    anti-bias cap on over-crawled domains.
+
+Every operator has an exact DuckDB oracle restating the same computation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import pipeline, spec
+
+# Gopher-rule bounds (A1.1, adapted to the synthetic corpus's 10-99-word
+# docs: the word-count floor is 30 instead of 50 so the rule discriminates
+# instead of rejecting everything)
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_TOP_BIGRAM = 0.20
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+C4_MIN_LINE_WORDS = 5   # C4 drops lines with < 5 words
+C4_MIN_DOC_LINES = 3    # ...and docs left with < 3 lines
+DOMAIN_CAP = 4          # max docs kept per registrable host
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ------------------------------------------------------------------ gopher --
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher quality metrics + keep flag.
+
+    n_words / mean word length / stopword count are pure array expressions
+    (no shuffle); the top-bigram character fraction needs one explode +
+    groupBy(doc, bigram) + max — both aggs are map-side combinable, so the
+    shuffle carries one row per distinct (doc, bigram)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # single-spaced text: total word chars = length - (n-1) separators
+    mean_wlen = F.round(
+        (F.length("text") - n + F.lit(1)).cast("double") / n, 4
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    base = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+        words.alias("w"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_words") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    out = base.join(top, "doc_id", "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        F.round(
+            F.coalesce(F.col("top_c"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_words") - 1, F.lit(1)),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WLEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WLEN)
+        & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+        & (F.col("top_bigram_frac") <= GOPHER_MAX_TOP_BIGRAM)
+    )
+    return out.withColumn("keep", keep)
+
+
+def gopher_quality_oracle() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+base AS (
+  SELECT doc_id, n_words,
+         ROUND((length(text) - n_words + 1)::DOUBLE / n_words, 4) AS mean_word_len,
+         len(list_filter(w, x -> x IN ({stop}))) AS n_stopwords
+  FROM d
+),
+bi AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, n_words - 1)) AS i
+        FROM d)
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       b.mean_word_len,
+       CAST(b.n_stopwords AS BIGINT) AS n_stopwords,
+       ROUND(COALESCE(t.top_c, 0)::DOUBLE / GREATEST(b.n_words - 1, 1), 4)
+         AS top_bigram_frac,
+       (b.n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND b.mean_word_len BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+        AND b.n_stopwords >= {GOPHER_MIN_STOPWORDS}
+        AND ROUND(COALESCE(t.top_c, 0)::DOUBLE / GREATEST(b.n_words - 1, 1), 4)
+            <= {GOPHER_MAX_TOP_BIGRAM}) AS keep
+FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+"""
+
+
+# --------------------------------------------------------------------- c4 --
+
+def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning over the EXTRACTED html corpus: drop lines with
+    < C4_MIN_LINE_WORDS words, dedup the remainder GLOBALLY keeping only
+    the first occurrence (ordered by url, line position), reassemble docs
+    and drop those left with < C4_MIN_DOC_LINES lines.
+
+    Composes on the extraction pipeline output (the lines exist only after
+    boilerplate strip), so this is the full extract→clean chain.  The
+    global dedup shuffles (line, url, pos) control rows keyed by line —
+    at 100 TB you key by md5(line) to fix row width; same plan shape."""
+    from ..sources.pagesgen import load_or_build_pages
+
+    pages = load_or_build_pages(spark, sf_dir).where(F.col("variant") == "html")
+    docs = pipeline.doc_text(pipeline.extract_pages(pages)).select("url", "text")
+    lines = docs.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).where(F.size(F.split("line", " ")) >= C4_MIN_LINE_WORDS)
+    w = Window.partitionBy("line").orderBy("url", "pos")
+    firsts = lines.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return (
+        firsts.groupBy("url")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("text"),
+        )
+        .where(F.col("n_lines") >= C4_MIN_DOC_LINES)
+        .select("url", F.col("n_lines").cast("long").alias("n_lines"), "text")
+    )
+
+
+def c4_line_dedup_oracle() -> str:
+    return f"""
+WITH g AS ({spec.html_golden_duckdb_sql(spec.SQL_IS_HTML).strip()}),
+lines AS (
+  SELECT url, i AS pos, ls[i] AS line
+  FROM (SELECT url, string_split(text, chr(10)) AS ls,
+               unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+        FROM g)
+),
+kept AS (
+  SELECT url, pos - 1 AS pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY url, pos) AS rk
+  FROM lines
+  WHERE len(string_split(line, ' ')) >= {C4_MIN_LINE_WORDS}
+)
+SELECT url, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept WHERE rk = 1
+GROUP BY url HAVING COUNT(*) >= {C4_MIN_DOC_LINES}
+"""
+
+
+# ------------------------------------------------------------------ domain --
+
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain doc caps: host from the url, rank docs within each host
+    (deterministic: by url), keep <= DOMAIN_CAP — the standard remedy for
+    over-crawled domains dominating a corpus.  One window over the host
+    partition; at 10^12 docs hot hosts are exactly the skewed partitions,
+    so the production variant pre-aggregates counts (also emitted here)."""
+    d = _docs(spark, sf_dir).select(F.expr(spec.SQL_URL).alias("url"))
+    host = F.expr("split_part(url, '/', 3)")
+    w = Window.partitionBy("host").orderBy("url")
+    wc = Window.partitionBy("host")
+    return (
+        d.select("url", host.alias("host"))
+        .withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_host_docs", F.count("*").over(wc).cast("long"))
+        .withColumn("kept", F.col("host_rank") <= DOMAIN_CAP)
+        .select("url", "host", "host_rank", "n_host_docs", "kept")
+    )
+
+
+def domain_cap_oracle() -> str:
+    return f"""
+WITH d AS (SELECT {spec.SQL_URL} AS url FROM documents)
+SELECT url, split_part(url, '/', 3) AS host,
+       CAST(ROW_NUMBER() OVER (PARTITION BY split_part(url, '/', 3)
+                               ORDER BY url) AS BIGINT) AS host_rank,
+       CAST(COUNT(*) OVER (PARTITION BY split_part(url, '/', 3)) AS BIGINT)
+         AS n_host_docs,
+       ROW_NUMBER() OVER (PARTITION BY split_part(url, '/', 3)
+                          ORDER BY url) <= {DOMAIN_CAP} AS kept
+FROM d
+"""

@@ -1,0 +1,200 @@
+"""Snapshot-versioned parquet tables: the Iceberg workflow, stdlib-only.
+
+The north rule targets "Iceberg tables of Common-Crawl-style web pages";
+this container has no Iceberg runtime jar, so this module implements the
+three Iceberg behaviors the pipeline actually depends on — atomic snapshot
+commits, time travel, and incremental (changelog) reads — over plain
+parquet files with JSON manifests, mirroring Iceberg's metadata layout:
+
+  table_dir/
+    data/part-<snapshot>-<n>.parquet      immutable data files
+    metadata/v<N>.metadata.json           snapshot manifest: file list,
+                                          parent, schema, row count
+    metadata/version-hint.text            current version pointer
+
+Commit protocol = write data files, write v<N>.metadata.json, then atomically
+replace version-hint.text (os.replace) — a reader always sees a complete
+snapshot.  A real deployment swaps this module for `spark.read.format
+("iceberg")` / `.option("start-snapshot-id", ...)`; the pipeline code is
+unchanged because both present plain DataFrames.
+
+Scale notes: manifests list files, never rows, so metadata stays O(files);
+incremental reads hand Spark exactly the added files (no diff scan); data
+files are immutable so snapshots share unchanged files structurally, like
+Iceberg manifests reuse.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _meta_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "metadata")
+
+
+def _hint_path(table_dir: str) -> str:
+    return os.path.join(_meta_dir(table_dir), "version-hint.text")
+
+
+def current_version(table_dir: str) -> int | None:
+    try:
+        with open(_hint_path(table_dir)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_meta_dir(table_dir), f"v{version}.metadata.json")
+
+
+def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no snapshot in {table_dir}")
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _write_files(df: DataFrame, table_dir: str, snap_tag: str) -> list[dict]:
+    """Materialize df as immutable data files; returns manifest entries."""
+    staging = os.path.join(table_dir, "data", f"_stage-{snap_tag}")
+    df.write.mode("overwrite").parquet(staging)
+    entries = []
+    data_dir = os.path.join(table_dir, "data")
+    for i, name in enumerate(sorted(os.listdir(staging))):
+        if not name.endswith(".parquet"):
+            continue
+        final = f"part-{snap_tag}-{i:05d}.parquet"
+        os.replace(os.path.join(staging, name), os.path.join(data_dir, final))
+        entries.append(
+            {
+                "path": os.path.join("data", final),
+                "bytes": os.path.getsize(os.path.join(data_dir, final)),
+            }
+        )
+    # remove staging remnants (_SUCCESS, checksums)
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+    return entries
+
+
+def _commit(
+    table_dir: str,
+    files: list[dict],
+    schema_json: str,
+    parent: int | None,
+    operation: str,
+    added: int,
+) -> int:
+    version = 1 if parent is None else parent + 1
+    manifest = {
+        "format_version": 1,
+        "snapshot_id": uuid.uuid4().hex,
+        "version": version,
+        "parent_version": parent,
+        "operation": operation,
+        "committed_at_ms": int(time.time() * 1000),
+        "schema": schema_json,
+        "files": files,
+        "added_files": added,
+    }
+    path = _manifest_path(table_dir, version)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, path)
+    # the atomic pointer swap IS the commit
+    tmp = _hint_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _hint_path(table_dir))
+    return version
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Create (or replace) the table with df as snapshot v1 (or vN+1 with
+    operation=overwrite: prior snapshots stay readable via time travel)."""
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    parent = current_version(table_dir)
+    tag = uuid.uuid4().hex[:12]
+    files = _write_files(df, table_dir, tag)
+    return _commit(
+        table_dir, files, df.schema.json(), parent, "overwrite", len(files)
+    )
+
+
+def append_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Append df as a new snapshot: new files + the parent's file list."""
+    parent = current_version(table_dir)
+    if parent is None:
+        return write_snapshot(df, table_dir)
+    prior = read_manifest(table_dir, parent)
+    tag = uuid.uuid4().hex[:12]
+    new_files = _write_files(df, table_dir, tag)
+    return _commit(
+        table_dir,
+        prior["files"] + new_files,
+        prior["schema"],
+        parent,
+        "append",
+        len(new_files),
+    )
+
+
+def _read_files(spark: SparkSession, table_dir: str, files: list[dict],
+                schema_json: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    paths = [os.path.join(table_dir, f["path"]) for f in files]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at a snapshot (None = current).  Time travel = pass
+    an older version; the manifest pins the exact file set."""
+    m = read_manifest(table_dir, version)
+    return _read_files(spark, table_dir, m["files"], m["schema"])
+
+
+def read_incremental(
+    spark: SparkSession, table_dir: str, since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows added strictly after ``since_version`` (the changelog read that
+    drives incremental extraction: only new files reach Spark, no diff
+    scan).  Only append snapshots are incremental; crossing an overwrite
+    raises, as Iceberg's incremental scan does."""
+    m = read_manifest(table_dir, to_version)
+    chain = []
+    cur = m
+    while cur["version"] > since_version:
+        if cur["version"] != since_version + 1 and cur["parent_version"] is None:
+            break
+        chain.append(cur)
+        if cur["version"] == since_version + 1:
+            break
+        cur = read_manifest(table_dir, cur["parent_version"])
+    added: list[dict] = []
+    for snap in chain:
+        if snap["operation"] != "append":
+            raise ValueError(
+                f"snapshot v{snap['version']} is {snap['operation']!r}; "
+                "incremental reads only cross appends"
+            )
+        added.extend(snap["files"][-snap["added_files"]:])
+    return _read_files(spark, table_dir, added, m["schema"])
