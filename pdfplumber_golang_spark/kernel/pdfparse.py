@@ -551,5 +551,68 @@ def _decode_filter(name: str, data: bytes) -> bytes:
         if s.endswith(b"~>"):
             s = s[:-2]
         return base64.a85decode(s)
+    if name in ("RunLengthDecode", "RL"):
+        return _rle_decode(data)
+    if name in ("LZWDecode", "LZW"):
+        return _lzw_decode(data)
     # unknown filter: pass through (reference behavior for unsupported)
     return data
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 32000-1 §7.4.5; the reference stubs it,
+    parser.go:603-611): length byte L then literal run (L+1 bytes) for
+    L <= 127, repeat-next-byte (257-L copies) for L >= 129, EOD at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i + 1 : i + 2 + l]
+            i += 2 + l
+        else:
+            if i + 1 >= n:
+                break  # truncated repeat run: emit what we have
+            out += data[i + 1 : i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode (PDF 32000-1 §7.4.4; absent from the reference,
+    parser.go:613-621): MSB-first variable-width codes, 9->12 bits,
+    ClearTable=256, EOD=257, with the PDF/TIFF "early change" convention
+    (code width bumps one entry before the table fills)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # ClearTable
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change: width grows when the NEXT code could overflow
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)

@@ -66,3 +66,116 @@ def test_indirect_length():
     }
     doc = PDFDocument(_assemble(objects))
     assert doc.pages[0].contents == [content]
+
+
+def test_runlength_decode():
+    """RunLengthDecode vectors (PDF 32000-1 §7.4.5): literal runs, repeat
+    runs, EOD, truncation tolerance."""
+    from pdfplumber_golang_spark.kernel.pdfparse import _rle_decode
+
+    assert _rle_decode(b"\x02abc") == b"abc"              # literal, L+1 bytes
+    assert _rle_decode(b"\xffx") == b"xx"                 # 257-255 copies
+    assert _rle_decode(b"\xfey") == b"yyy"
+    assert _rle_decode(b"\x00a\xfeb\x80IGNORED") == b"abbb"  # EOD stops
+    assert _rle_decode(b"") == b""
+    assert _rle_decode(b"\xfe") == b""                    # truncated repeat
+
+
+def test_lzw_decode_known_vector():
+    """Hand-assembled code stream for b'-----' (the PDF spec's classic
+    example shape): Clear, 45, 258, 258, EOD at 9 bits MSB-first."""
+    from pdfplumber_golang_spark.kernel.pdfparse import _lzw_decode
+
+    codes = [256, 45, 258, 258, 257]
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    assert _lzw_decode(bytes(out)) == b"-----"
+
+
+def test_lzw_roundtrip_random():
+    """Round-trip against an independent encoder (standard LZW with the
+    PDF early-change convention)."""
+    import random
+
+    from pdfplumber_golang_spark.kernel.pdfparse import _lzw_decode
+
+    def encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        codes = [256]
+        w = b""
+        widths = [9]
+        for b in data:
+            wk = w + bytes([b])
+            if wk in table:
+                w = wk
+                continue
+            codes.append(table[w])
+            widths.append(width)
+            table[wk] = next_code
+            next_code += 1
+            # early change: the DECODER grows when len(table)+1 fills the
+            # width, i.e. after it has added next_code-1 entries; encoder
+            # mirrors that so both sides agree on each code's width
+            if next_code + 1 > (1 << width) and width < 12:
+                width += 1
+            w = bytes([b])
+        if w:
+            codes.append(table[w])
+            widths.append(width)
+        codes.append(257)
+        widths.append(width)
+        acc = nbits = 0
+        out = bytearray()
+        for c, wd in zip(codes, widths):
+            acc = (acc << wd) | c
+            nbits += wd
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    rng = random.Random(11)
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        bytes(rng.randrange(4) for _ in range(5000)),   # repetitive
+        bytes(rng.randrange(256) for _ in range(3000)),  # incompressible
+        (b"the quick brown fox " * 200),
+    ]
+    for data in cases:
+        assert _lzw_decode(encode(data)) == data, len(data)
+
+
+def test_filter_chain_with_rl_and_lzw():
+    """_decode_filter dispatch reaches the new codecs by PDF name + abbrev."""
+    from pdfplumber_golang_spark.kernel.pdfparse import _decode_filter
+
+    assert _decode_filter("RunLengthDecode", b"\x02abc") == b"abc"
+    assert _decode_filter("RL", b"\xffz") == b"zz"
+    # LZW of a single 'A': Clear(256), 65, EOD(257) at 9 bits
+    codes = [256, 65, 257]
+    acc = nbits = 0
+    raw = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            raw.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        raw.append((acc << (8 - nbits)) & 0xFF)
+    assert _decode_filter("LZWDecode", bytes(raw)) == b"A"
+    assert _decode_filter("LZW", bytes(raw)) == b"A"
