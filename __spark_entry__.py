@@ -122,6 +122,41 @@ def _q_extract_text_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
+def _q_extract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table incremental consumption under the hash gate
+    (sources/snapshots.py — the Iceberg workflow stand-in): half the html
+    corpus committed as snapshot v1 and extracted; the other half APPENDED
+    as v2 and extracted via read_incremental (only the added files reach
+    Spark); the union of the two extraction outputs must equal the direct
+    path's byte-identical goldens."""
+    import shutil
+    import tempfile
+
+    from pdfplumber_golang_spark.sources import snapshots as S
+
+    pages = load_or_build_pages(spark, sf_dir).where(
+        F.col("variant") == "html"
+    ).select("url", "html")
+    first = pages.where(F.crc32(F.col("url")) % 2 == 0)
+    second = pages.where(F.crc32(F.col("url")) % 2 == 1)
+    root = tempfile.mkdtemp(prefix="snap_q_")
+    try:
+        S.write_snapshot(first, root)
+        out1 = pipeline.doc_text(
+            pipeline.extract_pages(S.read_snapshot(spark, root))
+        ).select("url", "text")
+        S.append_snapshot(second, root)
+        inc = S.read_incremental(spark, root, since_version=1)
+        out2 = pipeline.doc_text(pipeline.extract_pages(inc)).select(
+            "url", "text"
+        )
+        out = out1.unionByName(out2)
+        pdf = out.toPandas()  # materialize before the table dir disappears
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
 def _q_extract_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The resumable checkpointed runner (plans/checkpoint.run_checkpointed:
     url-hash buckets, per-bucket lineage + metrics, overwrite-idempotent
@@ -526,6 +561,68 @@ def _q_edge_filter_funnel(spark, sf_dir):
     )
 
 
+def _q_pdf_images(spark, sf_dir):
+    """Images relation end-to-end (beyond-parity: the reference defines
+    ImageObject, types.go:216-245, but only ever initializes empty Images
+    slices): per-doc fixture PDFs with 1+doc_id%3 DeviceGray XObjects
+    built closed-form in doc_id (kernel/pdfwrite.build_image_pdf), parsed
+    by the kernel's Do operator, every header field and placed bbox
+    hash-checked against the oracle's independent restatement."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pdfplumber_golang_spark.kernel.pdfwrite import build_image_pdf
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("html", T.BinaryType()),
+        ]
+    )
+
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "html": [build_image_pdf(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    pages = docs.select(
+        "doc_id", F.expr(spec.SQL_URL).alias("url")
+    ).mapInPandas(build, schema=schema)
+    return pipeline.extract_images(pages).select(
+        "url",
+        F.col("img_idx").cast("long").alias("img_idx"),
+        "name", "width", "height", "colorspace", "bpc",
+        "x0", "y0", "x1", "y1",
+    )
+
+
+def _pdf_images_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {spec.SQL_URL} AS url FROM documents
+),
+ks AS (SELECT unnest(generate_series(0, 2)) AS k),
+img AS (
+  SELECT url, k,
+         1 + (doc_id + k) % 16 AS w, 1 + (doc_id + k) % 12 AS h
+  FROM d, ks WHERE k < 1 + doc_id % 3
+)
+SELECT url, CAST(k AS BIGINT) AS img_idx, 'Im' || CAST(k AS STRING) AS name,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       'DeviceGray' AS colorspace, CAST(8 AS BIGINT) AS bpc,
+       CAST(50 + 60 * k AS DOUBLE) AS x0,
+       CAST(100 + 40 * k AS DOUBLE) AS y0,
+       CAST(50 + 60 * k + 10 * w AS DOUBLE) AS x1,
+       CAST(100 + 40 * k + 10 * h AS DOUBLE) AS y1
+FROM img
+"""
+
+
 def _q_pdf_curves(spark, sf_dir):
     """Curves relation: non-axis stroked point chains + non-rect fills
     (kernel/content.py _emit_stroke/_emit_fill; reference
@@ -654,6 +751,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_warc": _q_extract_text_warc,
         "extract_text_salted": _q_extract_salted,
         "extract_text_checkpointed": _q_extract_checkpointed,
+        "extract_text_incremental": _q_extract_incremental,
         "extract_text_ckpt_resume": _q_extract_ckpt_resume,
         "extract_text_pdf": _q_extract_pdf,
         "pdf_page_counts": _q_page_counts,
@@ -693,6 +791,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables_text": _q_extract_tables_text,
         "extract_tables_rowrects": _q_extract_tables_rowrects,
         "pdf_curves": _q_pdf_curves,
+        "pdf_images": _q_pdf_images,
         "edge_filter_funnel": _q_edge_filter_funnel,
         "extract_tables_text_relational": _q_extract_tables_text_relational,
         "extract_tables_relational": _q_extract_tables_relational,
@@ -715,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_html": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
         "extract_text_warc": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
         "extract_text_salted": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
+        "extract_text_incremental": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
         "extract_text_checkpointed": (
             spec.html_golden_duckdb_sql(spec.SQL_IS_HTML)
             + " UNION ALL "
@@ -834,6 +934,7 @@ FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS i FROM documents
       WHERE doc_id % 10 = 6),
      (SELECT unnest(generate_series(0, 2)) AS j)
 """,
+        "pdf_images": _pdf_images_oracle(),
         "pdf_curves": f"""
 WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 6),
 stroked AS (

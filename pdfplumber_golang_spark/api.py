@@ -53,6 +53,8 @@ class ObjectView:
                     max(t[0], t[2]), max(t[1], t[3]))
         if self.kind == "rect":
             return (t[0], t[1], t[2], t[3])
+        if self.kind == "image":
+            return (t[5], t[6], t[7], t[8])
         pts = t[0]
         if not pts:
             return (0.0, 0.0, 0.0, 0.0)
@@ -71,6 +73,9 @@ class ObjectView:
         if self.kind == "rect":
             return {"width": t[4], "stroke_color": self._BLACK,
                     "fill_color": self._BLACK, "non_stroking": False}
+        if self.kind == "image":
+            return {"width": t[1], "height": t[2], "color_space": t[3],
+                    "bits_per_component": t[4]}
         return {"points": list(t[0]), "stroke_color": self._BLACK,
                 "fill_color": self._BLACK, "width": 1.0}
 
@@ -81,13 +86,14 @@ class Page:
     """Mirrors the reference Page interface (interfaces.go:26-65)."""
 
     def __init__(self, number: int, mediabox, chars, edges, rects, curves,
-                 rotation: int = 0):
+                 rotation: int = 0, images=()):
         self.number = number
         self.mediabox = mediabox
         self.chars = chars
         self.edges = edges
         self.rects = rects
         self.curves = curves
+        self.images = list(images)
         self.rotation = rotation
 
     # -- dims ------------------------------------------------------------
@@ -159,6 +165,7 @@ class Page:
             "line": [ObjectView("line", e) for e in self.edges],
             "rect": [ObjectView("rect", r) for r in self.rects],
             "curve": [ObjectView("curve", c) for c in self.curves],
+            "image": [ObjectView("image", i) for i in self.images],
         }
 
     # -- geometric ops (G1-G3) --------------------------------------------
@@ -178,6 +185,7 @@ class Page:
                                            max(e[0], e[2]), max(e[1], e[3]))],
             [r for r in self.rects if hits(r[0], r[1], r[2], r[3])],
             self.curves,
+            images=[i for i in self.images if hits(i[5], i[6], i[7], i[8])],
         )
 
     within_bbox = crop  # reference exposes both names (page.go:163)
@@ -191,6 +199,7 @@ class Page:
             self.edges,
             self.rects,
             self.curves,
+            images=self.images,
         )
 
 
@@ -227,7 +236,8 @@ def open_bytes(raw: bytes, password: bytes = b"") -> Document:
             pages.append(
                 Page(page_no, mediabox, interp.chars, interp.edges,
                      interp.rects, interp.curves,
-                     rotation=doc.pages[page_no - 1].rotate)
+                     rotation=doc.pages[page_no - 1].rotate,
+                     images=interp.images)
             )
         return Document(pages, meta, "pdf")
     text = extract_html_text(raw)

@@ -94,12 +94,14 @@ class Interpreter:
       curves: (pts:list[(x,y)],)
     """
 
-    def __init__(self, fonts: dict[str, Font]):
+    def __init__(self, fonts: dict[str, Font], xobjects: dict | None = None):
         self.fonts = fonts
+        self.xobjects = xobjects or {}  # name -> image metadata dict
         self.chars: list[tuple] = []
         self.edges: list[tuple] = []
         self.rects: list[tuple] = []
         self.curves: list[tuple] = []
+        self.images: list[tuple] = []
         self.gs = GraphicsState()
         self.gs_stack: list[GraphicsState] = []
         # text state
@@ -439,6 +441,29 @@ class Interpreter:
     def op_n(self, o):
         self._clear_path()
 
+    # ----------------------------------------------------------- xobject --
+    def op_Do(self, o):
+        """Image XObject placement (PDF 32000-1 §8.8.23): the CTM maps the
+        image's unit square to device space; emit one image row with the
+        placed bbox + the XObject's intrinsic metadata.  (The reference
+        defines ImageObject but never emits one — types.go:216-245 with
+        only empty `Images:` initializers — so this is beyond-parity.)
+        Form XObjects are ignored (none in any corpus; interpreting them
+        needs recursive stream execution)."""
+        meta = self.xobjects.get(str(o[-1]))
+        if meta is None:
+            return
+        ctm = self.gs.ctm
+        corners = [_apply(ctm, x, y) for x, y in
+                   ((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))]
+        xs = [c[0] for c in corners]
+        ys = [c[1] for c in corners]
+        self.images.append(
+            (str(o[-1]), meta.get("width"), meta.get("height"),
+             meta.get("colorspace"), meta.get("bpc"),
+             min(xs), min(ys), max(xs), max(ys))
+        )
+
     # ------------------------------------------------------------ color --
     def op_rg(self, o):
         self.gs.fill_rgb = tuple(float(v) for v in o[-3:])
@@ -506,7 +531,7 @@ _OPS = {
     "J": Interpreter.op_noop, "j": Interpreter.op_noop,
     "M": Interpreter.op_noop, "d": Interpreter.op_noop,
     "ri": Interpreter.op_noop, "i": Interpreter.op_noop,
-    "gs": Interpreter.op_noop, "Do": Interpreter.op_noop,
+    "gs": Interpreter.op_noop, "Do": Interpreter.op_Do,
     "BDC": Interpreter.op_noop, "BMC": Interpreter.op_noop,
     "EMC": Interpreter.op_noop, "DP": Interpreter.op_noop,
     "MP": Interpreter.op_noop, "sh": Interpreter.op_noop,

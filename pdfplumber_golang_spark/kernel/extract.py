@@ -53,6 +53,30 @@ def load_fonts(doc: PDFDocument, resources: dict) -> dict[str, Font]:
     return fonts
 
 
+def load_xobjects(doc: PDFDocument, resources: dict) -> dict[str, dict]:
+    """Deref Resources/XObject and collect image-XObject metadata
+    (/Width /Height /ColorSpace /BitsPerComponent) for the interpreter's
+    Do operator.  The reference defines ImageObject (types.go:216-245)
+    but never populates one; this makes the images relation real."""
+    out: dict[str, dict] = {}
+    xd = doc.resolve(resources.get("XObject"))
+    if not isinstance(xd, dict):
+        return out
+    for name, ref in xd.items():
+        obj = doc.resolve(ref)
+        if not isinstance(obj, Stream):
+            continue
+        if str(doc.resolve(obj.dict.get("Subtype"))) != "Image":
+            continue
+        out[str(name)] = {
+            "width": int(doc.resolve(obj.dict.get("Width")) or 0),
+            "height": int(doc.resolve(obj.dict.get("Height")) or 0),
+            "colorspace": str(doc.resolve(obj.dict.get("ColorSpace")) or ""),
+            "bpc": int(doc.resolve(obj.dict.get("BitsPerComponent")) or 0),
+        }
+    return out
+
+
 def parse_pdf_objects(data: bytes, doc: PDFDocument | None = None):
     """Parse a PDF and interpret every page's content stream.
 
@@ -61,8 +85,9 @@ def parse_pdf_objects(data: bytes, doc: PDFDocument | None = None):
     if doc is None:
         doc = PDFDocument(data)
     for page in doc.pages:
-        fonts = load_fonts(doc, page.resources if isinstance(page.resources, dict) else {})
-        interp = Interpreter(fonts)
+        res = page.resources if isinstance(page.resources, dict) else {}
+        fonts = load_fonts(doc, res)
+        interp = Interpreter(fonts, load_xobjects(doc, res))
         content = b"\n".join(page.contents)
         interp.run(content)
         yield page.number, page.mediabox, interp

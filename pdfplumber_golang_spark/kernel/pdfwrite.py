@@ -497,3 +497,41 @@ def build_payload(doc_id: int, text: str) -> tuple[bytes, str, str]:
         body = spec.body_of(doc_id, text)
         return build_html(doc_id, body), spec.html_golden(body), variant
     return (*build_pdf(doc_id, text, variant), variant)
+
+
+def build_image_pdf(doc_id: int) -> bytes:
+    """Single-page PDF with 1 + doc_id%3 image XObjects (8-bit DeviceGray,
+    FlateDecode samples), each placed by a `W*10 0 0 H*10 tx ty cm /Imk Do`
+    sequence — every header field and placement bbox is closed-form in
+    doc_id so the pdf_images oracle can state them in SQL.  Query-local
+    fixture (not part of the spec'd variant corpus)."""
+    n = 1 + doc_id % 3
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [10 0 R] /Count 1"
+           b" /MediaBox [0 0 612 792] >>",
+    }
+    xrefs = []
+    content = []
+    for k in range(n):
+        w = 1 + (doc_id + k) % 16
+        h = 1 + (doc_id + k) % 12
+        num = 20 + k
+        samples = bytes(((doc_id + k + i) % 256 for i in range(w * h)))
+        objects[num] = _stream_obj(
+            samples,
+            flate=True,
+            extra=b" /Type /XObject /Subtype /Image /Width %d /Height %d"
+                  b" /ColorSpace /DeviceGray /BitsPerComponent 8" % (w, h),
+        )
+        xrefs.append(b"/Im%d %d 0 R" % (k, num))
+        content.append(
+            b"q %d 0 0 %d %d %d cm /Im%d Do Q"
+            % (10 * w, 10 * h, 50 + 60 * k, 100 + 40 * k, k)
+        )
+    objects[10] = (
+        b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R"
+        b" /Resources << /XObject << " + b" ".join(xrefs) + b" >> >> >>"
+    )
+    objects[11] = _stream_obj(b"\n".join(content), flate=False)
+    return _assemble(objects)

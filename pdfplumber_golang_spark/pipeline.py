@@ -55,6 +55,23 @@ CHAR_ROWS_SCHEMA = T.StructType(
     ]
 )
 
+IMAGE_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("img_idx", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("colorspace", T.StringType()),
+        T.StructField("bpc", T.LongType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+    ]
+)
+
 TABLE_ROWS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -170,6 +187,44 @@ def extract_chars(
     """pages table → flat chars relation (SURVEY §1.1: the central relation)."""
     return _salted(pages, parallelism, salt).mapInPandas(
         _char_batches, schema=CHAR_ROWS_SCHEMA
+    )
+
+
+def _image_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .kernel.extract import parse_pdf_objects
+
+    cols = [f.name for f in IMAGE_ROWS_SCHEMA.fields]
+    for pdf in it:
+        out: dict[str, list] = {c: [] for c in cols}
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            try:
+                for page_no, _mb, interp in parse_pdf_objects(bytes(raw)):
+                    for i, im in enumerate(interp.images):
+                        name, w, h, cs, bpc, x0, y0, x1, y1 = im
+                        out["url"].append(url)
+                        out["page_no"].append(page_no)
+                        out["img_idx"].append(i)
+                        out["name"].append(name)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["colorspace"].append(cs)
+                        out["bpc"].append(bpc)
+                        out["x0"].append(x0)
+                        out["y0"].append(y0)
+                        out["x1"].append(x1)
+                        out["y1"].append(y1)
+            except Exception:
+                continue  # error routing parity: bad docs emit no rows
+        yield pd.DataFrame(out)
+
+
+def extract_images(
+    pages: DataFrame, parallelism: int = 32, salt: bool = False
+) -> DataFrame:
+    """pages table → images relation (image-XObject metadata + placed
+    bbox per Do; the reference's ImageObject schema slot made real)."""
+    return _salted(pages, parallelism, salt).mapInPandas(
+        _image_batches, schema=IMAGE_ROWS_SCHEMA
     )
 
 

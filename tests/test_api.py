@@ -82,7 +82,7 @@ def test_get_objects_properties_roundtrip():
     data, _ = build_pdf(6, TEXT.strip(), "pdf_graphics")
     page = api.open_bytes(data).get_page(1)
     objs = page.get_objects()
-    assert set(objs) == {"char", "line", "rect", "curve"}
+    assert set(objs) == {"char", "line", "rect", "curve", "image"}
     assert objs["char"] and objs["line"]
 
     ch = objs["char"][0]
@@ -109,3 +109,24 @@ def test_get_objects_properties_roundtrip():
         assert pr["points"]
     # pythonic alias
     assert ch.properties() == ch.get_properties()
+
+
+def test_image_objects_extracted():
+    """Image XObjects are real objects now (beyond-parity: the reference's
+    ImageObject is never populated — types.go:216-245): kernel Do handler
+    emits metadata + placed bbox; api views expose the reference's exact
+    ImageObject property keys; crop intersects image bboxes."""
+    from pdfplumber_golang_spark.kernel.pdfwrite import build_image_pdf
+
+    page = api.open_bytes(build_image_pdf(5)).get_page(1)
+    assert len(page.images) == 3  # 1 + 5 % 3
+    name, w, h, cs, bpc, x0, y0, x1, y1 = page.images[0]
+    assert (name, cs, bpc) == ("Im0", "DeviceGray", 8)
+    assert (w, h) == (1 + 5 % 16, 1 + 5 % 12)
+    assert (x0, y0, x1, y1) == (50.0, 100.0, 50.0 + 10 * w, 100.0 + 10 * h)
+    iv = page.get_objects()["image"][0]
+    assert set(iv.get_properties()) == {
+        "width", "height", "color_space", "bits_per_component"
+    }
+    assert iv.get_bbox() == (x0, y0, x1, y1)
+    assert len(page.crop((0, 0, 100, 200)).images) == 1
