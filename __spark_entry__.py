@@ -157,6 +157,38 @@ def _q_extract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
+def _q_extract_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming extraction under the hash gate: the pages
+    table written as many parquet files, drained by streaming/ingest.
+    stream_extract (readStream → the same mapInPandas kernel →
+    exactly-once parquet file sink, Trigger.AvailableNow); the sink's
+    reassembled text must be byte-identical to the direct-path goldens."""
+    import shutil
+    import tempfile
+
+    from pdfplumber_golang_spark.streaming.ingest import stream_extract
+
+    pages = load_or_build_pages(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_q_")
+    try:
+        in_dir = os.path.join(root, "in")
+        pages.repartition(16).write.parquet(in_dir)
+        q = stream_extract(
+            spark, in_dir,
+            os.path.join(root, "out"), os.path.join(root, "ckpt"),
+            parallelism=16,
+        )
+        q.awaitTermination(600)
+        rows = spark.read.schema(pipeline.PAGE_ROWS_SCHEMA).parquet(
+            os.path.join(root, "out")
+        )
+        out = pipeline.doc_text(rows).select("url", "text")
+        pdf = out.toPandas()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
 def _q_extract_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The resumable checkpointed runner (plans/checkpoint.run_checkpointed:
     url-hash buckets, per-bucket lineage + metrics, overwrite-idempotent
@@ -623,6 +655,74 @@ FROM img
 """
 
 
+def _q_pdf_annots(spark, sf_dir):
+    """Annotations relation end-to-end (beyond-parity: the reference's
+    AnnotationObject, types.go:247-276, is never populated there): per-doc
+    fixture PDFs with 1+doc_id%2 Link annots (/A→/URI) plus one Text
+    annot (/Contents), all fields closed-form in doc_id."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pdfplumber_golang_spark.kernel.pdfwrite import build_annot_pdf
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("html", T.BinaryType()),
+        ]
+    )
+
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "html": [build_annot_pdf(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    pages = docs.select(
+        "doc_id", F.expr(spec.SQL_URL).alias("url")
+    ).mapInPandas(build, schema=schema)
+    return pipeline.extract_annotations(pages).select(
+        "url",
+        F.col("annot_idx").cast("long").alias("annot_idx"),
+        "subtype", "x0", "y0", "x1", "y1", "contents", "link_url",
+    )
+
+
+def _pdf_annots_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {spec.SQL_URL} AS url, 1 + doc_id % 2 AS n_links
+  FROM documents
+),
+ks AS (SELECT unnest(generate_series(0, 1)) AS k),
+links AS (
+  SELECT url, k AS annot_idx, 'Link' AS subtype,
+         CAST(40 + 80 * k AS DOUBLE) AS x0,
+         CAST(700 - 20 * k AS DOUBLE) AS y0,
+         CAST(40 + 80 * k + 60 AS DOUBLE) AS x1,
+         CAST(700 - 20 * k + 12 AS DOUBLE) AS y1,
+         '' AS contents,
+         'https://link' || CAST(doc_id AS STRING) || '-' ||
+           CAST(k AS STRING) || '.example' AS link_url
+  FROM d, ks WHERE k < n_links
+),
+notes AS (
+  SELECT url, n_links AS annot_idx, 'Text' AS subtype,
+         CAST(500 AS DOUBLE) AS x0, CAST(50 AS DOUBLE) AS y0,
+         CAST(520 AS DOUBLE) AS x1, CAST(70 AS DOUBLE) AS y1,
+         'note ' || CAST(doc_id AS STRING) AS contents, '' AS link_url
+  FROM d
+)
+SELECT url, CAST(annot_idx AS BIGINT) AS annot_idx, subtype,
+       x0, y0, x1, y1, contents, link_url
+FROM (SELECT * FROM links UNION ALL SELECT * FROM notes)
+"""
+
+
 def _q_pdf_curves(spark, sf_dir):
     """Curves relation: non-axis stroked point chains + non-rect fills
     (kernel/content.py _emit_stroke/_emit_fill; reference
@@ -752,6 +852,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_salted": _q_extract_salted,
         "extract_text_checkpointed": _q_extract_checkpointed,
         "extract_text_incremental": _q_extract_incremental,
+        "extract_text_streamed": _q_extract_streamed,
         "extract_text_ckpt_resume": _q_extract_ckpt_resume,
         "extract_text_pdf": _q_extract_pdf,
         "pdf_page_counts": _q_page_counts,
@@ -792,6 +893,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables_rowrects": _q_extract_tables_rowrects,
         "pdf_curves": _q_pdf_curves,
         "pdf_images": _q_pdf_images,
+        "pdf_annots": _q_pdf_annots,
         "edge_filter_funnel": _q_edge_filter_funnel,
         "extract_tables_text_relational": _q_extract_tables_text_relational,
         "extract_tables_relational": _q_extract_tables_relational,
@@ -815,6 +917,11 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_warc": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
         "extract_text_salted": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
         "extract_text_incremental": spec.html_golden_duckdb_sql(spec.SQL_IS_HTML),
+        "extract_text_streamed": (
+            spec.html_golden_duckdb_sql(spec.SQL_IS_HTML)
+            + " UNION ALL "
+            + spec.pdf_golden_duckdb_sql(spec.SQL_IS_PDF)
+        ),
         "extract_text_checkpointed": (
             spec.html_golden_duckdb_sql(spec.SQL_IS_HTML)
             + " UNION ALL "
@@ -935,6 +1042,7 @@ FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS i FROM documents
      (SELECT unnest(generate_series(0, 2)) AS j)
 """,
         "pdf_images": _pdf_images_oracle(),
+        "pdf_annots": _pdf_annots_oracle(),
         "pdf_curves": f"""
 WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 6),
 stroked AS (

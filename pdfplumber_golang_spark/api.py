@@ -55,6 +55,8 @@ class ObjectView:
             return (t[0], t[1], t[2], t[3])
         if self.kind == "image":
             return (t[5], t[6], t[7], t[8])
+        if self.kind == "anno":
+            return (t[1], t[2], t[3], t[4])
         pts = t[0]
         if not pts:
             return (0.0, 0.0, 0.0, 0.0)
@@ -76,6 +78,8 @@ class ObjectView:
         if self.kind == "image":
             return {"width": t[1], "height": t[2], "color_space": t[3],
                     "bits_per_component": t[4]}
+        if self.kind == "anno":
+            return {"type": t[0], "contents": t[5], "url": t[6]}
         return {"points": list(t[0]), "stroke_color": self._BLACK,
                 "fill_color": self._BLACK, "width": 1.0}
 
@@ -86,7 +90,7 @@ class Page:
     """Mirrors the reference Page interface (interfaces.go:26-65)."""
 
     def __init__(self, number: int, mediabox, chars, edges, rects, curves,
-                 rotation: int = 0, images=()):
+                 rotation: int = 0, images=(), annotations=()):
         self.number = number
         self.mediabox = mediabox
         self.chars = chars
@@ -94,6 +98,7 @@ class Page:
         self.rects = rects
         self.curves = curves
         self.images = list(images)
+        self.annotations = list(annotations)
         self.rotation = rotation
 
     # -- dims ------------------------------------------------------------
@@ -166,6 +171,7 @@ class Page:
             "rect": [ObjectView("rect", r) for r in self.rects],
             "curve": [ObjectView("curve", c) for c in self.curves],
             "image": [ObjectView("image", i) for i in self.images],
+            "anno": [ObjectView("anno", a) for a in self.annotations],
         }
 
     # -- geometric ops (G1-G3) --------------------------------------------
@@ -229,6 +235,8 @@ def open_bytes(raw: bytes, password: bytes = b"") -> Document:
     pdfplumber.go:36-51, document.go:27-67 — one canonical kernel instead
     of the backend fallback chain)."""
     if raw[:5] == b"%PDF-":
+        from .kernel.extract import load_annotations
+
         doc = PDFDocument(raw, password=password)
         meta = doc.metadata()
         pages = []
@@ -237,7 +245,8 @@ def open_bytes(raw: bytes, password: bytes = b"") -> Document:
                 Page(page_no, mediabox, interp.chars, interp.edges,
                      interp.rects, interp.curves,
                      rotation=doc.pages[page_no - 1].rotate,
-                     images=interp.images)
+                     images=interp.images,
+                     annotations=load_annotations(doc, doc.pages[page_no - 1]))
             )
         return Document(pages, meta, "pdf")
     text = extract_html_text(raw)

@@ -77,6 +77,42 @@ def load_xobjects(doc: PDFDocument, resources: dict) -> dict[str, dict]:
     return out
 
 
+def load_annotations(doc: PDFDocument, page) -> list[tuple]:
+    """(subtype, x0, y0, x1, y1, contents, url) rows from the page's
+    /Annots array — the reference's AnnotationObject schema
+    (types.go:247-276), which it defines but never populates.  Link
+    actions contribute /A→/URI; Text annotations contribute /Contents."""
+    out: list[tuple] = []
+    annots = doc.resolve(page.dict.get("Annots"))
+    if not isinstance(annots, list):
+        return out
+    for ref in annots:
+        a = doc.resolve(ref)
+        if not isinstance(a, dict):
+            continue
+        rect = doc.resolve(a.get("Rect")) or [0, 0, 0, 0]
+        try:
+            vals = [float(doc.resolve(v)) for v in rect[:4]]
+        except (TypeError, ValueError):
+            vals = [0.0, 0.0, 0.0, 0.0]
+        x0, x1 = sorted((vals[0], vals[2]))
+        y0, y1 = sorted((vals[1], vals[3]))
+        sub = str(doc.resolve(a.get("Subtype")) or "")
+        contents = doc.resolve(a.get("Contents")) or b""
+        if isinstance(contents, bytes):
+            contents = contents.decode("latin-1")
+        url = ""
+        action = doc.resolve(a.get("A"))
+        if isinstance(action, dict):
+            uri = doc.resolve(action.get("URI"))
+            if isinstance(uri, bytes):
+                url = uri.decode("latin-1")
+            elif uri:
+                url = str(uri)
+        out.append((sub, x0, y0, x1, y1, str(contents), url))
+    return out
+
+
 def parse_pdf_objects(data: bytes, doc: PDFDocument | None = None):
     """Parse a PDF and interpret every page's content stream.
 

@@ -535,3 +535,37 @@ def build_image_pdf(doc_id: int) -> bytes:
     )
     objects[11] = _stream_obj(b"\n".join(content), flate=False)
     return _assemble(objects)
+
+
+def build_annot_pdf(doc_id: int) -> bytes:
+    """Single-page PDF with 1 + doc_id%2 Link annotations (closed-form
+    /Rect and /A→/URI) plus one Text annotation with /Contents — every
+    field stated in SQL by the pdf_annots oracle.  Query-local fixture
+    (the reference's AnnotationObject is never populated there)."""
+    n_links = 1 + doc_id % 2
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [10 0 R] /Count 1"
+           b" /MediaBox [0 0 612 792] >>",
+    }
+    annot_refs = []
+    for k in range(n_links):
+        num = 30 + k
+        x0, y0 = 40 + 80 * k, 700 - 20 * k
+        objects[num] = (
+            b"<< /Type /Annot /Subtype /Link /Rect [%d %d %d %d]"
+            b" /A << /S /URI /URI (https://link%d-%d.example) >> >>"
+            % (x0, y0, x0 + 60, y0 + 12, doc_id, k)
+        )
+        annot_refs.append(b"%d 0 R" % num)
+    objects[40] = (
+        b"<< /Type /Annot /Subtype /Text /Rect [500 50 520 70]"
+        b" /Contents (note %d) >>" % doc_id
+    )
+    annot_refs.append(b"40 0 R")
+    objects[10] = (
+        b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R"
+        b" /Annots [" + b" ".join(annot_refs) + b"] >>"
+    )
+    objects[11] = _stream_obj(b"", flate=False)
+    return _assemble(objects)

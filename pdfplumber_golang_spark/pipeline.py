@@ -72,6 +72,21 @@ IMAGE_ROWS_SCHEMA = T.StructType(
     ]
 )
 
+ANNOT_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("annot_idx", T.IntegerType()),
+        T.StructField("subtype", T.StringType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("contents", T.StringType()),
+        T.StructField("link_url", T.StringType()),
+    ]
+)
+
 TABLE_ROWS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -225,6 +240,45 @@ def extract_images(
     bbox per Do; the reference's ImageObject schema slot made real)."""
     return _salted(pages, parallelism, salt).mapInPandas(
         _image_batches, schema=IMAGE_ROWS_SCHEMA
+    )
+
+
+def _annot_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .kernel.extract import load_annotations
+    from .kernel.pdfparse import PDFDocument
+
+    cols = [f.name for f in ANNOT_ROWS_SCHEMA.fields]
+    for pdf in it:
+        out: dict[str, list] = {c: [] for c in cols}
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            try:
+                doc = PDFDocument(bytes(raw))
+                for page in doc.pages:
+                    for i, (sub, x0, y0, x1, y1, txt, lurl) in enumerate(
+                        load_annotations(doc, page)
+                    ):
+                        out["url"].append(url)
+                        out["page_no"].append(page.number)
+                        out["annot_idx"].append(i)
+                        out["subtype"].append(sub)
+                        out["x0"].append(x0)
+                        out["y0"].append(y0)
+                        out["x1"].append(x1)
+                        out["y1"].append(y1)
+                        out["contents"].append(txt)
+                        out["link_url"].append(lurl)
+            except Exception:
+                continue  # error routing parity: bad docs emit no rows
+        yield pd.DataFrame(out)
+
+
+def extract_annotations(
+    pages: DataFrame, parallelism: int = 32, salt: bool = False
+) -> DataFrame:
+    """pages table → annotations relation (/Annots subtype, rect,
+    contents, link URI — the reference's AnnotationObject slot made real)."""
+    return _salted(pages, parallelism, salt).mapInPandas(
+        _annot_batches, schema=ANNOT_ROWS_SCHEMA
     )
 
 

@@ -82,7 +82,7 @@ def test_get_objects_properties_roundtrip():
     data, _ = build_pdf(6, TEXT.strip(), "pdf_graphics")
     page = api.open_bytes(data).get_page(1)
     objs = page.get_objects()
-    assert set(objs) == {"char", "line", "rect", "curve", "image"}
+    assert set(objs) == {"char", "line", "rect", "curve", "image", "anno"}
     assert objs["char"] and objs["line"]
 
     ch = objs["char"][0]
@@ -130,3 +130,20 @@ def test_image_objects_extracted():
     }
     assert iv.get_bbox() == (x0, y0, x1, y1)
     assert len(page.crop((0, 0, 100, 200)).images) == 1
+
+
+def test_annotation_objects_extracted():
+    """/Annots → annotation rows (beyond-parity: the reference's
+    AnnotationObject is never populated — types.go:247-276); api views
+    answer the reference's type/contents/url property keys."""
+    from pdfplumber_golang_spark.kernel.pdfwrite import build_annot_pdf
+
+    page = api.open_bytes(build_annot_pdf(3)).get_page(1)
+    assert len(page.annotations) == 3  # 2 links + 1 text note
+    annos = page.get_objects()["anno"]
+    link = annos[0].get_properties()
+    assert link == {"type": "Link", "contents": "",
+                    "url": "https://link3-0.example"}
+    assert annos[0].get_bbox() == (40.0, 700.0, 100.0, 712.0)
+    note = annos[-1].get_properties()
+    assert note == {"type": "Text", "contents": "note 3", "url": ""}
