@@ -246,3 +246,107 @@ SELECT url, split_part(url, '/', 3) AS host,
                           ORDER BY url) <= {DOMAIN_CAP} AS kept
 FROM d
 """
+
+
+# --------------------------------------------------------------- url canon --
+
+TRACKING_PREFIXES = ("utm_", "gclid=", "fbclid=", "ref=")
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization, pure JVM expressions: lowercase
+    scheme+authority, strip default ports (:443 https / :80 http), drop the
+    fragment, remove tracking params (utm_*/gclid/fbclid/ref), sort the
+    surviving query params, strip a trailing path slash.
+
+    The fixture derives deliberately-messy variants from doc_id (mixed
+    case, default ports, shuffled+tracking params, fragments) so the
+    canonical form is closed-form for the oracle.  At 10^12 docs this is
+    the map-side normalizer that makes exact URL dedup meaningful."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    messy = F.expr(
+        "concat('HTTPS://Host', CAST(doc_id % 97 AS STRING), '.Example:443/doc',"
+        " CAST(doc_id AS STRING),"
+        " CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&b=2&a=1#frag'"
+        "      WHEN doc_id % 3 = 1 THEN '?a=1&utm_campaign=y'"
+        "      ELSE '' END)"
+    )
+    raw = d.select("doc_id", messy.alias("url_raw"))
+    scheme = F.lower(F.regexp_extract("url_raw", r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    authority = F.lower(F.regexp_extract("url_raw", r"^[^:]+://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "https") & authority.endswith(":443"),
+        F.expr("substring(lower(regexp_extract(url_raw, '^[^:]+://([^/?#]*)', 1)), 1,"
+               " length(regexp_extract(url_raw, '^[^:]+://([^/?#]*)', 1)) - 4)"),
+    ).when(
+        (scheme == "http") & authority.endswith(":80"),
+        F.expr("substring(lower(regexp_extract(url_raw, '^[^:]+://([^/?#]*)', 1)), 1,"
+               " length(regexp_extract(url_raw, '^[^:]+://([^/?#]*)', 1)) - 3)"),
+    ).otherwise(authority)
+    path = F.regexp_extract("url_raw", r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.expr("substring(regexp_extract(url_raw, '^[^:]+://[^/?#]*([^?#]*)', 1), 1,"
+               " length(regexp_extract(url_raw, '^[^:]+://[^/?#]*([^?#]*)', 1)) - 1)"),
+    ).otherwise(path)
+    query = F.regexp_extract("url_raw", r"\?([^#]*)", 1)
+    keep_pred = " AND ".join(
+        f"NOT p LIKE '{pre}%'" for pre in TRACKING_PREFIXES
+    )
+    params = F.expr(
+        "array_join(sort_array(filter(split(regexp_extract(url_raw, '\\\\?([^#]*)', 1), '&'),"
+        f" p -> p != '' AND {keep_pred})), '&')"
+    )
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+    return raw.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "url_raw",
+        canon.alias("url_canonical"),
+    )
+
+
+def url_canonicalize_oracle() -> str:
+    keep_pred = " AND ".join(
+        f"NOT p LIKE '{pre}%'" for pre in TRACKING_PREFIXES
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://Host' || CAST(doc_id % 97 AS STRING) || '.Example:443/doc'
+         || CAST(doc_id AS STRING)
+         || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&b=2&a=1#frag'
+                 WHEN doc_id % 3 = 1 THEN '?a=1&utm_campaign=y'
+                 ELSE '' END AS url_raw
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url_raw,
+         lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url_raw, '^[^:]+://([^/?#]*)', 1)) AS authority,
+         regexp_extract(url_raw, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path0,
+         regexp_extract(url_raw, '\\?([^#]*)', 1) AS query0
+  FROM raw
+),
+norm AS (
+  SELECT doc_id, url_raw, scheme,
+         CASE WHEN scheme = 'https' AND authority LIKE '%:443'
+              THEN substr(authority, 1, length(authority) - 4)
+              WHEN scheme = 'http' AND authority LIKE '%:80'
+              THEN substr(authority, 1, length(authority) - 3)
+              ELSE authority END AS host,
+         CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+              THEN substr(path0, 1, length(path0) - 1)
+              ELSE path0 END AS path,
+         array_to_string(
+           list_sort(list_filter(string_split(query0, '&'),
+                                 p -> p != '' AND {keep_pred})), '&') AS params
+  FROM parts
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url_raw,
+       scheme || '://' || host || path ||
+       CASE WHEN params != '' THEN '?' || params ELSE '' END AS url_canonical
+FROM norm
+"""

@@ -26,6 +26,13 @@ FROZEN = [
     "ann_lsh",
     "extract_tables_relational",
     "corpus_curation",
+    "curation_gopher",
+    "curation_c4_line_dedup",
+    "curation_domain_cap",
+    "media_pixel_stats",
+    "pdf_images",
+    "pdf_annots",
+    "curation_url_canonicalize",
 ]
 
 

@@ -254,3 +254,30 @@ def test_df_cap_scales_logarithmically():
     assert dedup.df_cap(1) == dedup.DF_CAP_FLOOR
     # candidate volume per shingle (cap^2) grows polylog, not linearly
     assert dedup.df_cap(10**12) ** 2 < 10**6
+
+
+def test_png_decoder_rejects_garbage_without_crashing():
+    """Adversarial inputs must raise ValueError (or decode), never crash
+    with an unrelated exception — the mapInPandas stage depends on it."""
+    import random
+    import struct
+    import zlib
+
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    rng = random.Random(3)
+    base = mm.png_bytes(8, 6)
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        try:
+            mm.decode_png_pixels(bytes(buf))
+        except (ValueError, zlib.error, struct.error):
+            pass  # structured rejection is the contract
+    # truncations at every chunk boundary
+    for cut in (0, 8, 16, 33, 40, len(base) - 1):
+        try:
+            mm.decode_png_pixels(base[:cut])
+        except (ValueError, zlib.error, struct.error):
+            pass
