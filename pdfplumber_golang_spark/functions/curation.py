@@ -350,3 +350,38 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, url_raw,
        CASE WHEN params != '' THEN '?' || params ELSE '' END AS url_canonical
 FROM norm
 """
+
+
+# ----------------------------------------------------------- composed chain --
+
+PIPE_MIN_TOKENS = 30
+
+
+def web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production chain in ONE Catalyst plan: HTML extraction
+    (mapInPandas kernel) → C4 line filter + global line dedup → per-doc
+    stats (token count, md5 fingerprint, keep flag).  Demonstrates that the
+    curation stages pipeline without materialization barriers — Catalyst
+    sees extraction output as just another relation."""
+    cleaned = c4_line_dedup(spark, sf_dir)
+    toks = F.size(F.split(F.regexp_replace("text", "\n", " "), " "))
+    return cleaned.select(
+        "url",
+        "n_lines",
+        toks.cast("long").alias("n_tokens"),
+        F.md5(F.col("text")).alias("fingerprint"),
+        (toks >= PIPE_MIN_TOKENS).alias("keep"),
+    )
+
+
+def web_pipeline_oracle() -> str:
+    return f"""
+WITH cleaned AS ({c4_line_dedup_oracle().strip()})
+SELECT url, n_lines,
+       CAST(len(string_split(replace(text, chr(10), ' '), ' ')) AS BIGINT)
+         AS n_tokens,
+       md5(text) AS fingerprint,
+       len(string_split(replace(text, chr(10), ' '), ' ')) >= {PIPE_MIN_TOKENS}
+         AS keep
+FROM cleaned
+"""
