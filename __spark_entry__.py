@@ -883,6 +883,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_domain_cap": curation.domain_cap,
         "curation_url_canonicalize": curation.url_canonicalize,
         "curation_web_pipeline": curation.web_pipeline,
+        "crawl_host_windows": curation.crawl_host_windows_q,
         "dedup_embedding_cosine": ann.embedding_cosine_dups,
         "dedup_embedding_lsh": ann.dedup_embedding_lsh,
         "ann_bruteforce": ann.ann_bruteforce,
@@ -1026,6 +1027,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "curation_domain_cap": curation.domain_cap_oracle(),
         "curation_url_canonicalize": curation.url_canonicalize_oracle(),
         "curation_web_pipeline": curation.web_pipeline_oracle(),
+        "crawl_host_windows": curation.crawl_host_windows_oracle(),
         "dedup_embedding_cosine": ann.embedding_cosine_dups_oracle(),
         "dedup_embedding_lsh": ann.dedup_embedding_lsh_oracle(),
         "ann_bruteforce": ann.ann_bruteforce_oracle(),

@@ -385,3 +385,61 @@ SELECT url, n_lines,
          AS keep
 FROM cleaned
 """
+
+
+# ----------------------------------------------------------- crawl windows --
+
+CRAWL_WINDOW = "1 hour"
+
+
+def crawl_host_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-rate accounting over the input_hint table shape: docs and
+    payload bytes per (host, 1-hour tumbling warc_ts window) — the stats a
+    politeness scheduler and an ingest monitor read.  Pure JVM windowed
+    agg on the pages table (url, warc_ts, html); the same shape runs as a
+    Structured Streaming query with a watermark (streaming/windowed.py
+    demonstrates the twin on events)."""
+    from ..sources.pagesgen import load_or_build_pages
+
+    pages = load_or_build_pages(spark, sf_dir).select(
+        F.expr("split_part(url, '/', 3)").alias("host"),
+        "warc_ts",
+        F.length("html").alias("n_bytes"),
+    )
+    return (
+        pages.groupBy(
+            F.window("warc_ts", CRAWL_WINDOW).alias("w"), "host"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("sum_bytes"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "host", "n_docs", "sum_bytes",
+        )
+    )
+
+
+def crawl_host_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate projection: (win_start, host, n_docs) — payload byte sums stay
+    in the operator but are not SQL-restatable closed-form (the builders
+    decide them), so the oracle checks the windowed doc counts."""
+    return crawl_host_windows(spark, sf_dir).select(
+        "win_start", "host", "n_docs"
+    )
+
+
+def crawl_host_windows_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         'host' || CAST(doc_id % 97 AS STRING) || '.example' AS host,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(13 * doc_id) AS ts
+  FROM documents
+)
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS win_start,
+       host, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d GROUP BY 1, 2
+"""
