@@ -871,6 +871,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.simhash,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_jaccard_verified": dedup.jaccard_verified,
+        "dedup_components": dedup.dedup_components,
         "text_langid": text_analysis.lang_id,
         "text_langid_trigram": text_analysis.lang_id_trigram,
         "text_quality": text_analysis.quality_score,
@@ -1015,6 +1016,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "dedup_simhash": dedup.simhash_oracle(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
         "dedup_jaccard_verified": dedup.jaccard_verified_oracle(),
+        "dedup_components": dedup.dedup_components_oracle(),
         "text_langid": text_analysis.lang_id_oracle(),
         "text_langid_trigram": text_analysis.lang_id_trigram_oracle(),
         "text_quality": text_analysis.quality_score_oracle(),

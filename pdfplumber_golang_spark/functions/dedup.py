@@ -413,3 +413,131 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
 """
+
+
+# ------------------------------------------------- connected components ---
+
+CC_MAX_ITERS = 5  # dup-cluster diameter bound; convergence asserted
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-LSH candidate graph via iterative min-label propagation —
+    the missing last stage of a dedup pipeline (pairs → clusters → one
+    representative per cluster).
+
+    Each iteration is one groupBy over the edge list (label = min(own,
+    neighbors')); dup clusters have tiny diameter (exact copy + near
+    copies of one original), so CC_MAX_ITERS bounds the loop and the
+    final pass asserts a fixpoint was reached (fails loudly otherwise
+    rather than emitting half-merged clusters).  At 10^12 docs this is
+    the standard alternating min-label/small-star shape: edges carry two
+    longs, labels one long — no payload ever shuffles."""
+    c = dup_corpus(spark, sf_dir).select("doc_id")
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    # undirected neighbor list (both directions) as control rows
+    edges = cache.persist(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+    )
+    labels = c.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("label"),
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        labels = cache.persist(
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+        )
+    # fixpoint assertion: one more propagation step must change nothing
+    nbr = (
+        edges.join(
+            labels.select(
+                F.col("doc_id").alias("dst"), F.col("label").alias("nbr_label")
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("nbr_label").alias("nbr_min"))
+    )
+    changed = (
+        labels.join(nbr, "doc_id")
+        .where(F.col("nbr_min") < F.col("label"))
+        .count()
+    )
+    if changed:
+        raise RuntimeError(
+            f"dedup_components: not converged after {CC_MAX_ITERS} iters "
+            f"({changed} labels still shrinking) — raise CC_MAX_ITERS"
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component"),
+    )
+
+
+def dedup_components_oracle() -> str:
+    """The same CC_MAX_ITERS min-label iterations, unrolled as CTEs (both
+    engines converge inside the bound — the Spark side asserts it)."""
+    steps = []
+    prev = "s0"
+    for i in range(1, CC_MAX_ITERS + 1):
+        cur = f"s{i}"
+        steps.append(f"""
+{cur} AS (
+  SELECT p.doc_id,
+         LEAST(p.label, COALESCE(MIN(n.label), p.label)) AS label
+  FROM {prev} p
+  LEFT JOIN edges e ON e.src = p.doc_id
+  LEFT JOIN {prev} n ON n.doc_id = e.dst
+  GROUP BY p.doc_id, p.label
+)""")
+        prev = cur
+    return f"""
+WITH {corpus_sql().strip()},
+{_SHINGLES_SQL.strip()},
+ks AS (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS k),
+sig AS (
+  SELECT doc_id, k, MIN(md5(CAST(k AS STRING) || '|' || shingle)) AS mh
+  FROM shingles, ks GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, CAST(k // {LSH_BAND_SIZE} AS INT) AS band_id,
+         string_agg(mh, '' ORDER BY k) AS band_key
+  FROM sig GROUP BY doc_id, band_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+s0 AS (SELECT doc_id, doc_id AS label FROM corpus),{",".join(steps)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(label AS BIGINT) AS component
+FROM {prev}
+"""

@@ -33,6 +33,7 @@ FROZEN = [
     "pdf_images",
     "pdf_annots",
     "curation_url_canonicalize",
+    "dedup_components",
 ]
 
 

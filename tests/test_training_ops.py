@@ -281,3 +281,19 @@ def test_png_decoder_rejects_garbage_without_crashing():
             mm.decode_png_pixels(base[:cut])
         except (ValueError, zlib.error, struct.error):
             pass
+
+
+def test_dedup_components_cluster_duplicates(spark):
+    """Connected components over the LSH candidate graph: every exact
+    copy lands in its original's component (label = min doc_id of the
+    cluster), and distinct originals stay separate."""
+    out = dedup.dedup_components(spark, SF_DIR).toPandas()
+    comp = dict(zip(out.doc_id, out.component))
+    n = 500
+    co = sum(1 for d in range(n) if comp[d] == comp[d + dedup.DUP_OFFSET])
+    assert co == n  # exact copies share every band -> always an edge
+    # representative is the smallest member
+    for d in range(0, 50):
+        assert comp[d + dedup.DUP_OFFSET] <= d
+    # different originals do not collapse into one mega-cluster
+    assert out.component.nunique() > n * 0.8
