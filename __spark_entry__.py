@@ -872,6 +872,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_jaccard_verified": dedup.jaccard_verified,
         "dedup_components": dedup.dedup_components,
+        "dedup_incremental": dedup.dedup_incremental,
         "text_langid": text_analysis.lang_id,
         "text_langid_trigram": text_analysis.lang_id_trigram,
         "text_quality": text_analysis.quality_score,
@@ -1017,6 +1018,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
         "dedup_jaccard_verified": dedup.jaccard_verified_oracle(),
         "dedup_components": dedup.dedup_components_oracle(),
+        "dedup_incremental": dedup.dedup_incremental_oracle(),
         "text_langid": text_analysis.lang_id_oracle(),
         "text_langid_trigram": text_analysis.lang_id_trigram_oracle(),
         "text_quality": text_analysis.quality_score_oracle(),

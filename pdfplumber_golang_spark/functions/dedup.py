@@ -131,17 +131,11 @@ shingles AS (
 
 # ----------------------------------------------------------------- minhash --
 
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH candidate pairs.
-
-    signature[k] = min over shingles of md5(k || '|' || shingle)
-    band b = concat of its LSH_BAND_SIZE signature rows; docs sharing any
-    band key become a candidate pair (equi-join on (band_id, band_key) —
-    the only join, no cross product; this is the scale path)."""
-    c = dup_corpus(spark, sf_dir)
+def _band_rows(c: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH band rows.  One map-side-combinable
+    groupBy computes all K minhashes (no k-fanout shuffle — was 49s at
+    sf0.1 with the explode-by-k shape), then bands explode locally."""
     sh = _shingles(c)
-    # single map-side-combinable pass: all K mins in one groupBy (no k-fanout
-    # shuffle — was 49s at sf0.1 with the explode-by-k shape, now one agg)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat_ws("|", F.lit(k), F.col("shingle")))).alias(f"mh{k}")
@@ -163,10 +157,20 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(band_structs).alias("band")
     ).select("doc_id", F.col("band.band_id").alias("band_id"),
              F.col("band.band_key").alias("band_key"))
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs.
+
+    signature[k] = min over shingles of md5(k || '|' || shingle)
+    band b = concat of its LSH_BAND_SIZE signature rows; docs sharing any
+    band key become a candidate pair (equi-join on (band_id, band_key) —
+    the only join, no cross product; this is the scale path)."""
+    bands = _band_rows(dup_corpus(spark, sf_dir))
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -540,4 +544,52 @@ s0 AS (SELECT doc_id, doc_id AS label FROM corpus),{",".join(steps)}
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(label AS BIGINT) AS component
 FROM {prev}
+"""
+
+
+# ------------------------------------------------------ incremental dedup --
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: match only the NEW batch (here: the injected
+    duplicate docs, doc_id >= DUP_OFFSET — in production the latest
+    snapshot append) against everything already present, via the MinHash
+    band join with the probe side RESTRICTED to new docs.
+
+    The join volume is |all| x |new| band-bucketed instead of |all|^2:
+    exactly what a 10^12-doc corpus needs when a daily crawl lands —
+    existing docs never re-join each other.  doc_a < doc_b keeps
+    earlier-new x later-new pairs too, so a batch that contains its own
+    duplicates still surfaces them."""
+    bands = cache.persist(_band_rows(dup_corpus(spark, sf_dir)))
+    a = bands.alias("a")
+    b = bands.where(F.col("doc_id") >= DUP_OFFSET).alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").cast("long").alias("existing_doc"),
+            F.col("b.doc_id").cast("long").alias("new_doc"),
+        )
+        .distinct()
+    )
+
+
+def dedup_incremental_oracle() -> str:
+    return f"""
+WITH {corpus_sql().strip()},
+{_SHINGLES_SQL.strip()},
+ks AS (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS k),
+sig AS (
+  SELECT doc_id, k, MIN(md5(CAST(k AS STRING) || '|' || shingle)) AS mh
+  FROM shingles, ks GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, CAST(k // {LSH_BAND_SIZE} AS INT) AS band_id,
+         string_agg(mh, '' ORDER BY k) AS band_key
+  FROM sig GROUP BY doc_id, band_id
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS existing_doc,
+       CAST(b.doc_id AS BIGINT) AS new_doc
+FROM bands a JOIN bands b USING (band_id, band_key)
+WHERE a.doc_id < b.doc_id AND b.doc_id >= {DUP_OFFSET}
 """

@@ -34,6 +34,7 @@ FROZEN = [
     "pdf_annots",
     "curation_url_canonicalize",
     "dedup_components",
+    "dedup_incremental",
 ]
 
 
