@@ -886,6 +886,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_url_canonicalize": curation.url_canonicalize,
         "curation_web_pipeline": curation.web_pipeline,
         "crawl_host_windows": curation.crawl_host_windows_q,
+        "mixture_sample": curation.mixture_sample,
+        "shard_packing": curation.shard_packing,
         "dedup_embedding_cosine": ann.embedding_cosine_dups,
         "dedup_embedding_lsh": ann.dedup_embedding_lsh,
         "ann_bruteforce": ann.ann_bruteforce,
@@ -1032,6 +1034,8 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "curation_url_canonicalize": curation.url_canonicalize_oracle(),
         "curation_web_pipeline": curation.web_pipeline_oracle(),
         "crawl_host_windows": curation.crawl_host_windows_oracle(),
+        "mixture_sample": curation.mixture_sample_oracle(),
+        "shard_packing": curation.shard_packing_oracle(),
         "dedup_embedding_cosine": ann.embedding_cosine_dups_oracle(),
         "dedup_embedding_lsh": ann.dedup_embedding_lsh_oracle(),
         "ann_bruteforce": ann.ann_bruteforce_oracle(),

@@ -443,3 +443,92 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
        host, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM d GROUP BY 1, 2
 """
+
+
+# -------------------------------------------------------- mixture sampling --
+
+#: per-language inclusion percentages (training-mixture weights)
+MIX_RATES = {"en": 90, "de": 60, "fr": 60, "es": 60, "zh": 30}
+MIX_DEFAULT_RATE = 10
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the mixture-weighting step of a
+    training-data pipeline: each language stratum keeps a fixed share of
+    docs, chosen by a content-independent hash coin (Knuth multiplicative:
+    doc_id * 2654435761 mod 2^32 mod 100 < rate) so the sample is
+    reproducible, order-independent, and needs NO shuffle at all (pure
+    map-side projection + filter — at 10^12 docs the sampler is free;
+    only the kept rows flow on)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    rate = F.lit(MIX_DEFAULT_RATE)
+    for lang, r in sorted(MIX_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    coin = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        rate.cast("long").alias("rate_pct"),
+        coin.alias("coin"),
+        (coin < rate).alias("kept"),
+    )
+
+
+def mixture_sample_oracle() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in sorted(MIX_RATES.items())
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(CASE lang {whens} ELSE {MIX_DEFAULT_RATE} END AS BIGINT)
+         AS rate_pct,
+       CAST(doc_id * 2654435761 % 4294967296 % 100 AS BIGINT) AS coin,
+       doc_id * 2654435761 % 4294967296 % 100
+         < CASE lang {whens} ELSE {MIX_DEFAULT_RATE} END AS kept
+FROM documents
+"""
+
+
+# ----------------------------------------------------------- shard packing --
+
+SHARD_TOKENS = 2000  # target token budget per training shard
+
+
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment: docs in deterministic doc_id order
+    are packed into consecutive shards of ~SHARD_TOKENS tokens via one
+    cumulative-sum window (shard_id = floor((cumsum - n_tokens) /
+    budget) — i.e. the shard a doc STARTS in).
+
+    SCALE NOTE: a single global orderBy window is one total sort; at
+    10^12 docs you run the same cumsum per url-hash partition and add a
+    per-partition base offset from a tiny driver-side prefix-sum of
+    partition totals — identical math, no global sort.  The global form
+    here is the oracle-checkable semantics."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        ((cum - F.col("n_tokens")) / SHARD_TOKENS)
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+
+def shard_packing_oracle() -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(FLOOR((SUM(len(string_split(text, ' ')))
+                     OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING)
+                   - len(string_split(text, ' ')))::DOUBLE
+                  / {SHARD_TOKENS}) AS BIGINT) AS shard_id
+FROM documents
+"""

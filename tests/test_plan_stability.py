@@ -35,6 +35,7 @@ FROZEN = [
     "curation_url_canonicalize",
     "dedup_components",
     "dedup_incremental",
+    "mixture_sample",
 ]
 
 
