@@ -723,6 +723,41 @@ FROM (SELECT * FROM links UNION ALL SELECT * FROM notes)
 """
 
 
+def _q_pdf_forms(spark, sf_dir):
+    """Form-XObject execution end-to-end (no form support exists in the
+    reference): the visible text lives inside a Form XObject with its own
+    /Resources/Font, placed twice by page-level cm translations — the
+    extracted text must read the form's line twice in top-down order."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pdfplumber_golang_spark.kernel.pdfwrite import build_form_pdf
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("html", T.BinaryType()),
+        ]
+    )
+
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "html": [build_form_pdf(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    pages = docs.select(
+        "doc_id", F.expr(spec.SQL_URL).alias("url")
+    ).mapInPandas(build, schema=schema)
+    return pipeline.doc_text(pipeline.extract_pages(pages)).select(
+        "url", "text"
+    )
+
+
 def _q_pdf_curves(spark, sf_dir):
     """Curves relation: non-axis stroked point chains + non-rect fills
     (kernel/content.py _emit_stroke/_emit_fill; reference
@@ -901,6 +936,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_curves": _q_pdf_curves,
         "pdf_images": _q_pdf_images,
         "pdf_annots": _q_pdf_annots,
+        "pdf_forms": _q_pdf_forms,
         "edge_filter_funnel": _q_edge_filter_funnel,
         "extract_tables_text_relational": _q_extract_tables_text_relational,
         "extract_tables_relational": _q_extract_tables_relational,
@@ -1057,6 +1093,12 @@ FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS i FROM documents
 """,
         "pdf_images": _pdf_images_oracle(),
         "pdf_annots": _pdf_annots_oracle(),
+        "pdf_forms": f"""
+SELECT {spec.SQL_URL} AS url,
+       'form line ' || CAST(doc_id AS STRING) || chr(10) ||
+       'form line ' || CAST(doc_id AS STRING) AS text
+FROM documents
+""",
         "pdf_curves": f"""
 WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 6),
 stroked AS (

@@ -119,6 +119,7 @@ class Interpreter:
         self.path: list[list[tuple[float, float]]] = []  # subpaths
         self._cur_sub: list[tuple[float, float]] | None = None
         self._rect_candidates: list[tuple[float, float, float, float]] = []
+        self._form_depth = 0  # recursive Form-XObject execution guard
 
     # ------------------------------------------------------------ main ---
     def run(self, stream: bytes) -> None:
@@ -452,6 +453,32 @@ class Interpreter:
         needs recursive stream execution)."""
         meta = self.xobjects.get(str(o[-1]))
         if meta is None:
+            return
+        if meta.get("form"):
+            # Form XObject (PDF 32000-1 §8.10): gsave, prepend /Matrix to
+            # the CTM, execute the form's content stream with the form's
+            # own Resources (fonts/xobjects fall back to the page's when
+            # the form declares none), grestore.  run() keeps all parse
+            # state local, so recursion is safe; depth-bounded against
+            # self-referential forms.
+            if self._form_depth >= 8:
+                return
+            self._form_depth += 1
+            self.op_q([])
+            self.op_cm(list(meta["matrix"]))
+            saved = (self.fonts, self.xobjects, self.font, self.font_size,
+                     self.tm, self.tlm)
+            if meta.get("fonts"):
+                self.fonts = meta["fonts"]
+            if meta.get("xobjects") is not None:
+                self.xobjects = meta["xobjects"]
+            try:
+                self.run(meta["stream"])
+            finally:
+                (self.fonts, self.xobjects, self.font, self.font_size,
+                 self.tm, self.tlm) = saved
+                self.op_Q([])
+                self._form_depth -= 1
             return
         ctm = self.gs.ctm
         corners = [_apply(ctm, x, y) for x, y in

@@ -53,11 +53,15 @@ def load_fonts(doc: PDFDocument, resources: dict) -> dict[str, Font]:
     return fonts
 
 
-def load_xobjects(doc: PDFDocument, resources: dict) -> dict[str, dict]:
-    """Deref Resources/XObject and collect image-XObject metadata
-    (/Width /Height /ColorSpace /BitsPerComponent) for the interpreter's
-    Do operator.  The reference defines ImageObject (types.go:216-245)
-    but never populates one; this makes the images relation real."""
+def load_xobjects(
+    doc: PDFDocument, resources: dict, depth: int = 0
+) -> dict[str, dict]:
+    """Deref Resources/XObject: image XObjects yield header metadata
+    (/Width /Height /ColorSpace /BitsPerComponent) for the Do operator's
+    images relation; Form XObjects yield their decoded content stream,
+    /Matrix, and recursively-prepared resources for in-place execution
+    (depth-bounded).  The reference defines ImageObject (types.go:216-245)
+    but never populates one, and has no form execution at all."""
     out: dict[str, dict] = {}
     xd = doc.resolve(resources.get("XObject"))
     if not isinstance(xd, dict):
@@ -66,7 +70,22 @@ def load_xobjects(doc: PDFDocument, resources: dict) -> dict[str, dict]:
         obj = doc.resolve(ref)
         if not isinstance(obj, Stream):
             continue
-        if str(doc.resolve(obj.dict.get("Subtype"))) != "Image":
+        subtype = str(doc.resolve(obj.dict.get("Subtype")))
+        if subtype == "Form" and depth < 4:
+            mat = doc.resolve(obj.dict.get("Matrix")) or [1, 0, 0, 1, 0, 0]
+            fres = doc.resolve(obj.dict.get("Resources"))
+            fres = fres if isinstance(fres, dict) else {}
+            out[str(name)] = {
+                "form": True,
+                "stream": doc.stream_data(obj),
+                "matrix": [float(doc.resolve(v)) for v in mat[:6]],
+                "fonts": load_fonts(doc, fres) if fres else None,
+                "xobjects": (
+                    load_xobjects(doc, fres, depth + 1) if fres else None
+                ),
+            }
+            continue
+        if subtype != "Image":
             continue
         out[str(name)] = {
             "width": int(doc.resolve(obj.dict.get("Width")) or 0),

@@ -569,3 +569,38 @@ def build_annot_pdf(doc_id: int) -> bytes:
     )
     objects[11] = _stream_obj(b"", flate=False)
     return _assemble(objects)
+
+
+def build_form_pdf(doc_id: int) -> bytes:
+    """Single-page PDF whose visible text lives entirely inside a Form
+    XObject with its OWN /Resources/Font, placed twice by page-level cm
+    translations (y 700 and y 700-120) — extracted text must read the
+    form's line twice in top-down order.  Exercises recursive content
+    execution + resource swapping (no form support exists in the
+    reference).  Query-local fixture."""
+    line = f"form line {doc_id}"
+    form_stream = (
+        b"BT /F1 12 Tf 72 700 Td (" + _esc(line) + b") Tj ET"
+    )
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [10 0 R] /Count 1"
+           b" /MediaBox [0 0 612 792] >>",
+        3: _FONT_SIMPLE,
+        20: _stream_obj(
+            form_stream,
+            flate=False,
+            extra=b" /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+                  b" /Resources << /Font << /F1 3 0 R >> >>",
+        ),
+        10: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R"
+            b" /Resources << /XObject << /Fm0 20 0 R >> >> >>"
+        ),
+        11: _stream_obj(
+            b"q 1 0 0 1 0 0 cm /Fm0 Do Q\n"
+            b"q 1 0 0 1 0 -120 cm /Fm0 Do Q",
+            flate=False,
+        ),
+    }
+    return _assemble(objects)

@@ -77,3 +77,49 @@ def test_full_corpus_byte_identity_sf0001():
             continue
         assert err is None, (doc_id, variant, err)
         assert "\n".join(p.text for p in pages) == golden, (doc_id, variant)
+
+
+def test_form_xobject_execution():
+    """Form XObjects execute recursively with their own resources and the
+    /Matrix prepended to the CTM; state (fonts, text matrices, graphics
+    state) never leaks back to the page (kernel/content.op_Do)."""
+    from pdfplumber_golang_spark.kernel.extract import (
+        extract_document, parse_pdf_objects,
+    )
+    from pdfplumber_golang_spark.kernel.pdfwrite import build_form_pdf
+
+    pages, err = extract_document("u", build_form_pdf(9))
+    assert err is None
+    assert pages[0].text == "form line 9\nform line 9"
+    # both placements emit the same chars 120pt apart vertically
+    for _, _, interp in parse_pdf_objects(build_form_pdf(9)):
+        ys = sorted({round(c[4], 1) for c in interp.chars}, reverse=True)
+        assert ys == [700.0, 580.0]
+
+
+def test_form_xobject_depth_guard():
+    """A self-referential form must terminate via the depth bound."""
+    from pdfplumber_golang_spark.kernel.pdfwrite import (
+        _FONT_SIMPLE, _assemble, _stream_obj,
+    )
+    from pdfplumber_golang_spark.kernel.extract import extract_document
+
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [10 0 R] /Count 1"
+           b" /MediaBox [0 0 612 792] >>",
+        3: _FONT_SIMPLE,
+        20: _stream_obj(
+            b"/Fm0 Do BT /F1 12 Tf 72 700 Td (x) Tj ET",
+            flate=False,
+            extra=b" /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+                  b" /Resources << /Font << /F1 3 0 R >>"
+                  b" /XObject << /Fm0 20 0 R >> >>",
+        ),
+        10: b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R"
+            b" /Resources << /XObject << /Fm0 20 0 R >> >> >>",
+        11: _stream_obj(b"/Fm0 Do", flate=False),
+    }
+    pages, err = extract_document("u", _assemble(objects))
+    assert err is None  # bounded recursion, no stack overflow
+    assert pages[0].text.count("x") <= 8
