@@ -652,6 +652,13 @@ SELECT url, CAST(k AS BIGINT) AS img_idx, 'Im' || CAST(k AS STRING) AS name,
        CAST(50 + 60 * k + 10 * w AS DOUBLE) AS x1,
        CAST(100 + 40 * k + 10 * h AS DOUBLE) AS y1
 FROM img
+UNION ALL
+SELECT url, CAST(1 + doc_id % 3 AS BIGINT) AS img_idx, 'inline' AS name,
+       CAST(2 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+       'G' AS colorspace, CAST(8 AS BIGINT) AS bpc,
+       CAST(400 AS DOUBLE) AS x0, CAST(600 AS DOUBLE) AS y0,
+       CAST(420 AS DOUBLE) AS x1, CAST(610 AS DOUBLE) AS y1
+FROM d
 """
 
 

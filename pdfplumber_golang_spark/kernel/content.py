@@ -201,27 +201,79 @@ class Interpreter:
                     self._dispatch(tok.val, operands)
                     operands.clear()
 
+    _INLINE_KEYS = {
+        "W": "width", "Width": "width",
+        "H": "height", "Height": "height",
+        "CS": "colorspace", "ColorSpace": "colorspace",
+        "BPC": "bpc", "BitsPerComponent": "bpc",
+    }
+
     def _skip_inline_image(self, lex: lx.Lexer) -> None:
-        """Skip BI ... ID <binary> EI. 'EI' can occur inside unencoded
-        image bytes, so only accept it when delimited by PDF whitespace
-        (or start/end of stream) on BOTH sides — otherwise the scan would
-        resume mid-image and feed garbage tokens to the interpreter
-        (ADVICE r1)."""
+        """BI <dict> ID <binary> EI: parse the parameter dict (so inline
+        images join the images relation with metadata + CTM-placed bbox —
+        round 3), then skip the binary payload.  'EI' can occur inside
+        unencoded image bytes, so only accept it when delimited by PDF
+        whitespace (or start/end of stream) on BOTH sides — otherwise the
+        scan would resume mid-image and feed garbage tokens to the
+        interpreter (ADVICE r1)."""
+        start = lex.pos
+        params: dict | None = {}
+        try:
+            key = None
+            while True:
+                tok = lex.next()
+                if tok.kind == lx.EOF:
+                    break
+                if tok.kind == lx.KEYWORD and tok.val == "ID":
+                    break
+                if tok.kind == lx.NAME and key is None:
+                    key = tok.val
+                elif key is not None:
+                    params[key] = tok.val
+                    key = None
+        except Exception:
+            lex.pos = start  # unparseable dict: raw EI skip only
+            params = None
         data, n = lex.data, len(lex.data)
         ws = b"\x00\t\n\x0c\r "
         first = data.find(b"EI", lex.pos)
         pos = first
+        end = None
         while pos >= 0:
             before_ok = pos == 0 or data[pos - 1] in ws
             after_ok = pos + 2 >= n or data[pos + 2] in ws
             if before_ok and after_ok:
-                lex.pos = pos + 2
-                return
+                end = pos + 2
+                break
             pos = data.find(b"EI", pos + 1)
-        # no delimited terminator at all (ISO 32000 does not require
-        # whitespace before EI): fall back to the first bare 'EI' rather
-        # than discarding the rest of the stream
-        lex.pos = n if first < 0 else first + 2
+        if end is None:
+            # no delimited terminator at all (ISO 32000 does not require
+            # whitespace before EI): fall back to the first bare 'EI'
+            # rather than discarding the rest of the stream
+            end = n if first < 0 else first + 2
+        lex.pos = end
+        if params:
+            got = {}
+            for k, v in params.items():
+                std = self._INLINE_KEYS.get(str(k))
+                if std is not None:
+                    got[std] = v
+            try:
+                ctm = self.gs.ctm
+                corners = [_apply(ctm, x, y) for x, y in
+                           ((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))]
+                xs = [c[0] for c in corners]
+                ys = [c[1] for c in corners]
+                self.images.append(
+                    ("inline",
+                     int(got.get("width") or 0),
+                     int(got.get("height") or 0),
+                     str(got.get("colorspace") or ""),
+                     int(got.get("bpc") or 0),
+                     min(xs), min(ys), max(xs), max(ys))
+                )
+            except (TypeError, ValueError):
+                pass  # malformed params: image skipped, text unaffected
 
     # -------------------------------------------------------- dispatch ---
     def _dispatch(self, op: str, o: list) -> None:

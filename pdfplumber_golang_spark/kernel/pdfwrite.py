@@ -529,6 +529,13 @@ def build_image_pdf(doc_id: int) -> bytes:
             b"q %d 0 0 %d %d %d cm /Im%d Do Q"
             % (10 * w, 10 * h, 50 + 60 * k, 100 + 40 * k, k)
         )
+    # one inline image per doc too (BI/ID/EI): 2x2 gray, placed at a
+    # closed-form bbox — inline images join the images relation with the
+    # synthetic name 'inline'
+    content.append(
+        b"q 20 0 0 10 400 600 cm BI /W 2 /H 2 /CS /G /BPC 8 ID "
+        b"\x01\x02\x03\x04 EI Q"
+    )
     objects[10] = (
         b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R"
         b" /Resources << /XObject << " + b" ".join(xrefs) + b" >> >> >>"

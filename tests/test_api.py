@@ -119,7 +119,8 @@ def test_image_objects_extracted():
     from pdfplumber_golang_spark.kernel.pdfwrite import build_image_pdf
 
     page = api.open_bytes(build_image_pdf(5)).get_page(1)
-    assert len(page.images) == 3  # 1 + 5 % 3
+    assert len(page.images) == 4  # 1 + 5 % 3 XObjects + 1 inline
+    assert page.images[-1][0] == "inline"
     name, w, h, cs, bpc, x0, y0, x1, y1 = page.images[0]
     assert (name, cs, bpc) == ("Im0", "DeviceGray", 8)
     assert (w, h) == (1 + 5 % 16, 1 + 5 % 12)
@@ -129,7 +130,7 @@ def test_image_objects_extracted():
         "width", "height", "color_space", "bits_per_component"
     }
     assert iv.get_bbox() == (x0, y0, x1, y1)
-    assert len(page.crop((0, 0, 100, 200)).images) == 1
+    assert len(page.crop((0, 0, 100, 200)).images) == 1  # inline at x>=400 excluded
 
 
 def test_annotation_objects_extracted():
