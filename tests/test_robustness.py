@@ -132,3 +132,59 @@ def test_inline_image_data_abutting_ei_recovers():
     )
     got = "".join(c[0] for c in interp.chars)
     assert "before" in got and "after" in got
+
+
+def test_new_fixture_families_survive_corruption():
+    """The round-3 kernel surfaces (image/annot/form PDFs, inline images)
+    obey the executor-safety contract: corrupted or truncated inputs
+    return an error or degrade, never raise out of extract_document."""
+    import random
+
+    from pdfplumber_golang_spark.kernel.extract import extract_document
+    from pdfplumber_golang_spark.kernel.pdfwrite import (
+        build_annot_pdf, build_form_pdf, build_image_pdf,
+    )
+
+    rng = random.Random(5)
+    for builder in (build_image_pdf, build_annot_pdf, build_form_pdf):
+        base = builder(7)
+        for _ in range(40):
+            buf = bytearray(base)
+            for _ in range(rng.randrange(1, 8)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            pages, err = extract_document("u", bytes(buf))
+            assert isinstance(pages, list)  # never raises
+        for cut in (10, len(base) // 2, len(base) - 3):
+            pages, err = extract_document("u", base[:cut])
+            assert isinstance(pages, list)
+
+
+def test_dangling_xobject_and_annot_refs():
+    """References to missing XObjects//Annots objects degrade to empty
+    relations, not errors."""
+    from pdfplumber_golang_spark.kernel.extract import (
+        extract_document, parse_pdf_objects,
+    )
+    from pdfplumber_golang_spark.kernel.pdfwrite import (
+        _FONT_SIMPLE, _assemble, _stream_obj,
+    )
+
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [10 0 R] /Count 1"
+           b" /MediaBox [0 0 612 792] >>",
+        3: _FONT_SIMPLE,
+        10: b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R"
+            b" /Resources << /Font << /F1 3 0 R >>"
+            b" /XObject << /Im0 77 0 R /Fm0 88 0 R >> >>"
+            b" /Annots [99 0 R] >>",
+        11: _stream_obj(
+            b"/Im0 Do /Fm0 Do BT /F1 12 Tf 72 700 Td (ok) Tj ET",
+            flate=False,
+        ),
+    }
+    data = _assemble(objects)
+    pages, err = extract_document("u", data)
+    assert err is None and "ok" in pages[0].text
+    for _, _, interp in parse_pdf_objects(data):
+        assert interp.images == []
