@@ -90,9 +90,10 @@ class Page:
     """Mirrors the reference Page interface (interfaces.go:26-65)."""
 
     def __init__(self, number: int, mediabox, chars, edges, rects, curves,
-                 rotation: int = 0, images=(), annotations=()):
+                 rotation: int = 0, images=(), annotations=(), cropbox=None):
         self.number = number
         self.mediabox = mediabox
+        self.cropbox = cropbox if cropbox is not None else mediabox
         self.chars = chars
         self.edges = edges
         self.rects = rects
@@ -246,7 +247,8 @@ def open_bytes(raw: bytes, password: bytes = b"") -> Document:
                      interp.rects, interp.curves,
                      rotation=doc.pages[page_no - 1].rotate,
                      images=interp.images,
-                     annotations=load_annotations(doc, doc.pages[page_no - 1]))
+                     annotations=load_annotations(doc, doc.pages[page_no - 1]),
+                     cropbox=doc.pages[page_no - 1].cropbox)
             )
         return Document(pages, meta, "pdf")
     text = extract_html_text(raw)

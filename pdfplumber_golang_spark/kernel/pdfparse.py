@@ -61,15 +61,20 @@ class PDFError(ValueError):
 
 
 class Page:
-    __slots__ = ("number", "dict", "resources", "contents", "mediabox", "rotate")
+    __slots__ = ("number", "dict", "resources", "contents", "mediabox",
+                 "rotate", "cropbox")
 
-    def __init__(self, number, d, resources, contents, mediabox, rotate):
+    def __init__(self, number, d, resources, contents, mediabox, rotate,
+                 cropbox=None):
         self.number = number
         self.dict = d
         self.resources = resources
         self.contents = contents  # list[bytes] (decoded)
         self.mediabox = mediabox  # (x0, y0, x1, y1)
         self.rotate = rotate
+        # inherited /CropBox, defaulting to the mediabox like the
+        # reference (parser.go:850-856 getPageBox fallback)
+        self.cropbox = cropbox if cropbox is not None else mediabox
 
 
 class PDFDocument:
@@ -477,6 +482,11 @@ class PDFDocument:
         merged.update(node)
         mb = self.resolve(merged.get("MediaBox")) or [0, 0, 612, 792]
         mediabox = tuple(float(self.resolve(v)) for v in mb[:4])
+        cb = self.resolve(merged.get("CropBox"))
+        cropbox = (
+            tuple(float(self.resolve(v)) for v in cb[:4])
+            if isinstance(cb, list) and len(cb) >= 4 else None
+        )
         rotate = int(self.resolve(merged.get("Rotate")) or 0)
         resources = self.resolve(merged.get("Resources")) or {}
         contents = self.resolve(merged.get("Contents"))
@@ -496,6 +506,7 @@ class PDFDocument:
                 contents=streams,
                 mediabox=mediabox,
                 rotate=rotate,
+                cropbox=cropbox,
             )
         )
 

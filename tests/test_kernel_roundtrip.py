@@ -123,3 +123,32 @@ def test_form_xobject_depth_guard():
     pages, err = extract_document("u", _assemble(objects))
     assert err is None  # bounded recursion, no stack overflow
     assert pages[0].text.count("x") <= 8
+
+
+def test_cropbox_inherited_and_defaulted():
+    """/CropBox inherits through the page tree and defaults to the
+    mediabox (reference parser.go:850-856)."""
+    from pdfplumber_golang_spark.kernel.pdfparse import PDFDocument
+    from pdfplumber_golang_spark.kernel.pdfwrite import (
+        _FONT_SIMPLE, _assemble, _stream_obj,
+    )
+
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [10 0 R 12 0 R] /Count 2"
+           b" /MediaBox [0 0 612 792] /CropBox [10 10 600 780] >>",
+        3: _FONT_SIMPLE,
+        10: b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R >>",
+        11: _stream_obj(b"", flate=False),
+        12: b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R"
+            b" /CropBox [0 0 300 400] >>",
+    }
+    doc = PDFDocument(_assemble(objects))
+    assert doc.pages[0].cropbox == (10.0, 10.0, 600.0, 780.0)  # inherited
+    assert doc.pages[1].cropbox == (0.0, 0.0, 300.0, 400.0)    # overridden
+    # absent everywhere -> defaults to mediabox
+    del objects[12]
+    objects[2] = (b"<< /Type /Pages /Kids [10 0 R] /Count 1"
+                  b" /MediaBox [0 0 612 792] >>")
+    doc2 = PDFDocument(_assemble(objects))
+    assert doc2.pages[0].cropbox == doc2.pages[0].mediabox
