@@ -956,6 +956,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _q_events_windowed,
         "event_sessionize": _q_event_sessions,
         "event_sessionize_stateful": _q_event_sessions_stateful,
+        "event_asof_join": synth_rel.asof_join_events,
     }
 
 
@@ -1126,6 +1127,7 @@ SELECT {spec.SQL_URL} AS url, CAST(curve_no AS BIGINT) AS curve_no,
        ROUND(x1, 3) AS x1, ROUND(y1, 3) AS y1
 FROM allc
 """,
+        "event_asof_join": synth_rel.asof_join_events_oracle(),
         "event_sessionize_stateful": """
 WITH ev AS (
   SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s

@@ -200,3 +200,76 @@ edges_rel AS (
        (SELECT unnest([0, 1]) AS copy)
 )
 """
+
+
+# ----------------------------------------------------------------- as-of ---
+
+def asof_join_events(spark, sf_dir: str):
+    """As-of join — the classic operator Spark lacks natively: for every
+    'click' event, the LATEST 'view' by the same user at-or-before the
+    click's timestamp.
+
+    Implemented as the scalable union + windowed last-non-null
+    composition: tag views 0 / clicks 1, sort per user by (ts, tag), and
+    carry the most recent view forward with one window — ONE shuffle on
+    user_id, no range-join product, no per-row probe.  At 10^12 events
+    this is the shape that survives: the window state per user is a
+    single value.  The oracle is DuckDB's NATIVE ASOF LEFT JOIN, so two
+    entirely different algorithms must agree row-for-row (the fixture has
+    no (user_id, ts) ties, so the match is well-defined).
+
+    Null-match handling: ids coalesce to -1 and timestamps render as
+    strings on BOTH engines (a NULL bigint would round-trip through
+    pandas as float64 and break the value hash).
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(0).alias("tag")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(1).alias("tag")
+    )
+    u = v.unionByName(c)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_id = F.last(
+        F.when(F.col("tag") == 0, F.col("src_id")), ignorenulls=True
+    ).over(w)
+    view_ts = F.last(
+        F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        u.withColumn("view_id", view_id)
+        .withColumn("view_ts", view_ts)
+        .where(F.col("tag") == 1)
+        .select(
+            F.col("src_id").cast("long").alias("click_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_format("ts", fmt).alias("click_ts"),
+            F.coalesce(F.col("view_id"), F.lit(-1)).cast("long").alias("view_id"),
+            F.coalesce(F.date_format("view_ts", fmt), F.lit("")).alias("view_ts"),
+        )
+    )
+
+
+def asof_join_events_oracle() -> str:
+    return """
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(c.user_id AS BIGINT) AS user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       CAST(COALESCE(v.event_id, -1) AS BIGINT) AS view_id,
+       COALESCE(strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f'), '') AS view_ts
+FROM c ASOF LEFT JOIN v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""

@@ -36,6 +36,7 @@ FROZEN = [
     "dedup_components",
     "dedup_incremental",
     "mixture_sample",
+    "event_asof_join",
 ]
 
 
