@@ -957,6 +957,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize": _q_event_sessions,
         "event_sessionize_stateful": _q_event_sessions_stateful,
         "event_asof_join": synth_rel.asof_join_events,
+        "event_range_join": synth_rel.event_range_join,
     }
 
 
@@ -1128,6 +1129,7 @@ SELECT {spec.SQL_URL} AS url, CAST(curve_no AS BIGINT) AS curve_no,
 FROM allc
 """,
         "event_asof_join": synth_rel.asof_join_events_oracle(),
+        "event_range_join": synth_rel.event_range_join_oracle(),
         "event_sessionize_stateful": """
 WITH ev AS (
   SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s

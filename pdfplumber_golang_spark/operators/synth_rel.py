@@ -273,3 +273,83 @@ SELECT CAST(c.event_id AS BIGINT) AS click_id,
 FROM c ASOF LEFT JOIN v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 """
+
+
+# ------------------------------------------------------------ range join ---
+
+RANGE_WINDOW_S = 3600  # +-1 hour
+
+
+def event_range_join(spark, sf_dir: str):
+    """Interval/range join at scale — the bin-and-refine shape: for every
+    'error' event, count and sum same-user events within +-1 hour.
+
+    Catalyst has no native interval join (a raw inequality join is a
+    per-user cross product), so each error explodes to its time bucket
+    and both neighbors (bucket width = the window, so any in-range pair
+    shares a bucket), the probe is an EQUI-join on (user_id, bucket), and
+    the exact |dt| <= window predicate refines — candidate volume is
+    bounded by events-per-bucket, never n^2.  Same pattern as the
+    chars-in-cells join (operators/table_ops.fill_cells).  The oracle is
+    DuckDB's naive inequality join: different plan, same rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # parquet yields TIMESTAMP_NTZ; hop through TIMESTAMP (session tz is
+    # UTC) to get epoch seconds with fractional microseconds, matching
+    # DuckDB's epoch(ts)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    base = ev.select(
+        "event_id", "user_id", "event_type", "value", epoch.alias("sec"),
+        (epoch / RANGE_WINDOW_S).cast("long").alias("bucket"),
+    )
+    probes = base.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id"),
+        F.col("sec").alias("err_sec"),
+        F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ).alias("bucket"),
+    )
+    cands = base.select(
+        "user_id", "bucket", F.col("event_id").alias("nbr_id"),
+        F.col("sec").alias("nbr_sec"), "value",
+    )
+    joined = probes.join(cands, ["user_id", "bucket"]).where(
+        (F.abs(F.col("nbr_sec") - F.col("err_sec")) <= RANGE_WINDOW_S)
+        & (F.col("nbr_id") != F.col("err_id"))
+    )
+    return (
+        joined.groupBy("err_id")
+        .agg(
+            F.count("*").alias("n_nearby"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("err_id").cast("long").alias("err_id"),
+            F.col("n_nearby").cast("long").alias("n_nearby"),
+            "sum_value",
+        )
+    )
+
+
+def event_range_join_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS sec, value FROM events
+),
+err AS (SELECT e.* FROM e JOIN events ev USING (event_id)
+        WHERE ev.event_type = 'error')
+SELECT CAST(err.event_id AS BIGINT) AS err_id,
+       CAST(COUNT(*) AS BIGINT) AS n_nearby,
+       ROUND(SUM(n.value), 3) AS sum_value
+FROM err JOIN e n
+  ON n.user_id = err.user_id
+ AND abs(n.sec - err.sec) <= {RANGE_WINDOW_S}
+ AND n.event_id != err.event_id
+GROUP BY err.event_id
+"""

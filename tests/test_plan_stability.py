@@ -37,6 +37,7 @@ FROZEN = [
     "dedup_incremental",
     "mixture_sample",
     "event_asof_join",
+    "event_range_join",
 ]
 
 
