@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from pdfplumber_golang_spark import pipeline, spec
 from pdfplumber_golang_spark.functions import ann, curation, dedup, multimodal, text_analysis
-from pdfplumber_golang_spark.operators import layout_ops, synth_rel, table_ops
+from pdfplumber_golang_spark.operators import layout_ops, synth_rel, table_ops, tpch
 from pdfplumber_golang_spark.plans import cache as plan_cache
 from pdfplumber_golang_spark.sources.pagesgen import (
     build_graphics_pages,
@@ -958,6 +958,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize_stateful": _q_event_sessions_stateful,
         "event_asof_join": synth_rel.asof_join_events,
         "event_range_join": synth_rel.event_range_join,
+        "tpch_q1": tpch.tpch_q1,
+        "tpch_q3": tpch.tpch_q3,
+        "tpch_q5": tpch.tpch_q5,
     }
 
 
@@ -1130,6 +1133,9 @@ FROM allc
 """,
         "event_asof_join": synth_rel.asof_join_events_oracle(),
         "event_range_join": synth_rel.event_range_join_oracle(),
+        "tpch_q1": tpch.tpch_q1_oracle(),
+        "tpch_q3": tpch.tpch_q3_oracle(),
+        "tpch_q5": tpch.tpch_q5_oracle(),
         "event_sessionize_stateful": """
 WITH ev AS (
   SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s

@@ -1,0 +1,204 @@
+"""Classic relational queries over the driver's TPC-H-ish tables.
+
+The extraction engine's host tables (lineitem/orders/customer/nation/
+region/supplier) get the three canonical shapes: the big scan-agg (Q1),
+the selective 3-way join + top-k (Q3), and the 6-way star join (Q5) —
+broadcast for every dimension side, shuffle only on the fact keys.
+
+Cross-engine float determinism: money columns are DOUBLEs holding exact
+cent values, discounts/taxes exact integer percents (verified in tests).
+All sums run in integer cents (cent·percent·percent for the charge), so
+Spark's partition-parallel aggregation and DuckDB's serial one produce
+bit-identical totals — float sums would be addition-order-dependent and
+hash-unstable.  Division back to currency happens once, on the exact
+integer, at projection time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Q1_CUTOFF = "2000-09-02"
+Q3_DATE = "1997-03-15"
+Q3_SEGMENT = "BUILDING"
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1997-01-01"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cents(col: str):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _pct(col: str):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: one scan, map-side-combinable agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp")
+    )
+    ep, d, t = _cents("l_extendedprice"), _pct("l_discount"), _pct("l_tax")
+    rows = li.select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        ep.alias("ep_c"),
+        (ep * (100 - d)).alias("disc_c"),
+        (ep * (100 - d) * (100 + t)).alias("charge_c"),
+        d.alias("d_pct"),
+    )
+    return (
+        rows.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sum_qty"),
+            F.sum("ep_c").alias("s_ep"),
+            F.sum("disc_c").alias("s_disc"),
+            F.sum("charge_c").alias("s_charge"),
+            F.sum("d_pct").alias("s_d"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+            F.round(F.col("s_ep") / 100.0, 2).alias("sum_base_price"),
+            F.round(F.col("s_disc") / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.col("s_charge") / 1000000.0, 2).alias("sum_charge"),
+            F.round(F.col("sum_qty") / F.col("count_order"), 4).alias("avg_qty"),
+            F.round(F.col("s_ep") / 100.0 / F.col("count_order"), 4).alias("avg_price"),
+            F.round(F.col("s_d") / 100.0 / F.col("count_order"), 4).alias("avg_disc"),
+            F.col("count_order").cast("long").alias("count_order"),
+        )
+    )
+
+
+def tpch_q1_oracle() -> str:
+    return f"""
+WITH rows_ AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ep_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS d_pct,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS t_pct
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       ROUND(SUM(ep_c) / 100.0, 2) AS sum_base_price,
+       ROUND(SUM(ep_c * (100 - d_pct)) / 10000.0, 2) AS sum_disc_price,
+       ROUND(SUM(ep_c * (100 - d_pct) * (100 + t_pct)) / 1000000.0, 2)
+         AS sum_charge,
+       ROUND(SUM(qty)::DOUBLE / COUNT(*), 4) AS avg_qty,
+       ROUND(SUM(ep_c) / 100.0 / COUNT(*), 4) AS avg_price,
+       ROUND(SUM(d_pct) / 100.0 / COUNT(*), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM rows_ GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: broadcast the filtered customer dim, shuffle only
+    order/lineitem keys; deterministic top-10 via (revenue, orderkey)."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    rev = (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_c")
+    return (
+        li.select("l_orderkey", rev)
+        .join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("rev_c").alias("s_rev"))
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.round(F.col("s_rev") / 10000.0, 2).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q3_oracle() -> str:
+    return f"""
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: the 6-way star join — every dimension side
+    broadcast (region/nation/supplier/customer), the fact tables shuffle
+    on their join keys only."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_nationkey").alias("cn_key"), "n_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_c"),
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("s_nationkey") == F.col("cn_key"))
+        .groupBy("n_name")
+        .agg(F.sum("rev_c").alias("s_rev"))
+        .select(
+            "n_name", F.round(F.col("s_rev") / 10000.0, 2).alias("revenue")
+        )
+    )
+
+
+def tpch_q5_oracle() -> str:
+    return f"""
+SELECT n_name,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00'
+GROUP BY n_name
+"""

@@ -103,3 +103,17 @@ def test_salted_extraction_exchanges_on_url_hash(spark):
     assert "xxhash64" in salted, salted
     plain = _executed_plan(pipeline.extract_pages(pages))
     assert "xxhash64" not in plain, plain
+
+
+def test_tpch_dimension_joins_are_broadcast(spark):
+    """Q3/Q5 must broadcast every dimension side (customer / nation /
+    region / supplier) — a shuffled dim join at 100 TB fact scale is the
+    classic regression; Q1 stays a single-scan partial agg."""
+    q3 = _executed_plan(E.queries()["tpch_q3"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in q3, q3
+    assert "CartesianProduct" not in q3
+    q5 = _executed_plan(E.queries()["tpch_q5"](spark, SF_DIR))
+    assert q5.count("BroadcastHashJoin") >= 2, q5
+    assert "CartesianProduct" not in q5
+    q1 = _executed_plan(E.queries()["tpch_q1"](spark, SF_DIR))
+    assert "Join" not in q1 and "partial" in q1.lower(), q1
