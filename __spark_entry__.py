@@ -961,6 +961,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": tpch.tpch_q1,
         "tpch_q3": tpch.tpch_q3,
         "tpch_q5": tpch.tpch_q5,
+        "tpch_q6": tpch.tpch_q6,
+        "tpch_q18": tpch.tpch_q18,
     }
 
 
@@ -1136,6 +1138,8 @@ FROM allc
         "tpch_q1": tpch.tpch_q1_oracle(),
         "tpch_q3": tpch.tpch_q3_oracle(),
         "tpch_q5": tpch.tpch_q5_oracle(),
+        "tpch_q6": tpch.tpch_q6_oracle(),
+        "tpch_q18": tpch.tpch_q18_oracle(),
         "event_sessionize_stateful": """
 WITH ev AS (
   SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s

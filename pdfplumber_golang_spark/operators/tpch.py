@@ -202,3 +202,86 @@ WHERE r_name = '{Q5_REGION}'
   AND o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00'
 GROUP BY n_name
 """
+
+
+Q6_FROM, Q6_TO = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 5, 7   # integer percents (0.05..0.07)
+Q6_MAX_QTY = 24
+
+Q18_MIN_QTY = 150
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: pure filter + single-value agg — the
+    predicate-pushdown showcase (every filter reaches the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q6_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_TO).cast("timestamp"))
+        & (F.col("l_quantity") < Q6_MAX_QTY)
+    )
+    d = _pct("l_discount")
+    rev = (_cents("l_extendedprice") * d).alias("rev_c")
+    return (
+        li.select(rev, d.alias("d_pct"))
+        .where((F.col("d_pct") >= Q6_DISC_LO) & (F.col("d_pct") <= Q6_DISC_HI))
+        .agg(F.round(F.sum("rev_c") / 10000.0, 2).alias("revenue"))
+    )
+
+
+def tpch_q6_oracle() -> str:
+    return f"""
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0, 2)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q6_TO} 00:00:00'
+  AND l_quantity < {Q6_MAX_QTY}
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+"""
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: HAVING over the fact agg, then a semi-join
+    back — the agg runs BEFORE any join, so only qualifying orderkeys
+    (a tiny set) reach the join stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("o_custkey").cast("long").alias("c_custkey"),
+            F.col("l_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
+def tpch_q18_oracle() -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q18_MIN_QTY}
+)
+SELECT c_name, CAST(o_custkey AS BIGINT) AS c_custkey,
+       CAST(l_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
