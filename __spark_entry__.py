@@ -963,6 +963,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": tpch.tpch_q5,
         "tpch_q6": tpch.tpch_q6,
         "tpch_q18": tpch.tpch_q18,
+        "tpch_q14": tpch.tpch_q14,
     }
 
 
@@ -1140,6 +1141,7 @@ FROM allc
         "tpch_q5": tpch.tpch_q5_oracle(),
         "tpch_q6": tpch.tpch_q6_oracle(),
         "tpch_q18": tpch.tpch_q18_oracle(),
+        "tpch_q14": tpch.tpch_q14_oracle(),
         "event_sessionize_stateful": """
 WITH ev AS (
   SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s

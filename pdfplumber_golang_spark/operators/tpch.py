@@ -285,3 +285,50 @@ FROM big
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 """
+
+
+Q14_FROM, Q14_TO = "1996-09-01", "1996-10-01"
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: promo revenue share — lineitem x part broadcast
+    join with a conditional integer-cents sum (PROMO parts vs all).
+    Completes coverage of every host table."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q14_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_TO).cast("timestamp"))
+    )
+    rev = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    j = li.select("l_partkey", rev.alias("rev_c")).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(0)
+        ).alias("promo_c"),
+        F.sum("rev_c").alias("total_c"),
+    )
+    return agg.select(
+        F.round(100.0 * F.col("promo_c") / F.col("total_c"), 4).alias(
+            "promo_revenue_pct"
+        ),
+        F.round(F.col("total_c") / 10000.0, 2).alias("total_revenue"),
+    )
+
+
+def tpch_q14_oracle() -> str:
+    return f"""
+WITH j AS (
+  SELECT p_type,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q14_TO} 00:00:00'
+)
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
+             / SUM(rev_c), 4) AS promo_revenue_pct,
+       ROUND(SUM(rev_c) / 10000.0, 2) AS total_revenue
+FROM j
+"""
