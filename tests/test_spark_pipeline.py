@@ -38,7 +38,8 @@ def test_queries_match_oracles(spark):
     """Mini version of the driver's CORRECTNESS gate at sf0.001."""
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "region", "nation",
+              "customer", "supplier", "part", "orders", "lineitem"):
         con.sql(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
     for name, fn in qs.items():
         sdf = fn(spark, SF_DIR).toPandas()
