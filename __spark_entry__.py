@@ -964,6 +964,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": tpch.tpch_q6,
         "tpch_q18": tpch.tpch_q18,
         "tpch_q14": tpch.tpch_q14,
+        "tpch_q4": tpch.tpch_q4,
+        "tpch_q22": tpch.tpch_q22,
     }
 
 
@@ -1142,6 +1144,8 @@ FROM allc
         "tpch_q6": tpch.tpch_q6_oracle(),
         "tpch_q18": tpch.tpch_q18_oracle(),
         "tpch_q14": tpch.tpch_q14_oracle(),
+        "tpch_q4": tpch.tpch_q4_oracle(),
+        "tpch_q22": tpch.tpch_q22_oracle(),
         "event_sessionize_stateful": """
 WITH ev AS (
   SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s

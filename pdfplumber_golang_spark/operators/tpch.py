@@ -332,3 +332,95 @@ SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
        ROUND(SUM(rev_c) / 10000.0, 2) AS total_revenue
 FROM j
 """
+
+
+Q4_FROM, Q4_TO = "1996-01-01", "1996-04-01"
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking, adapted to this schema (lineitem carries
+    only l_shipdate): count orders per priority having AT LEAST ONE line
+    shipped after the order date — the EXISTS / LEFT-SEMI join shape
+    (the probe side deduplicates for free; no fan-out on multi-line
+    orders)."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q4_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_TO).cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+def tpch_q4_oracle() -> str:
+    return f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{Q4_FROM} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q4_TO} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+Q22_SINCE = "2000-01-01"
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity, adapted: above-average-balance customers
+    with NO orders since Q22_SINCE — the NOT-EXISTS / LEFT-ANTI join
+    shape, grouped by nation (every customer has SOME order in this
+    fixture, so the recency window is what makes the anti-join
+    discriminate)."""
+    cust = _t(spark, sf_dir, "customer")
+    # driver-side scalar: the average balance (one tiny agg, like the
+    # reference query's subquery)
+    avg_bal = cust.agg(F.avg("c_acctbal")).collect()[0][0]
+    rich = cust.where(F.col("c_acctbal") > avg_bal).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(Q22_SINCE).cast("timestamp")
+    ).select("o_custkey")
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        no_orders.select("c_nationkey", cents.alias("bal_c"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.round(F.sum("bal_c") / 100.0, 2).alias("total_acctbal"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "n_cust", "total_acctbal",
+        )
+    )
+
+
+def tpch_q22_oracle() -> str:
+    return f"""
+WITH avg_bal AS (SELECT AVG(c_acctbal) AS ab FROM customer)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+         AS total_acctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{Q22_SINCE} 00:00:00')
+GROUP BY c_nationkey
+"""

@@ -117,3 +117,12 @@ def test_tpch_dimension_joins_are_broadcast(spark):
     assert "CartesianProduct" not in q5
     q1 = _executed_plan(E.queries()["tpch_q1"](spark, SF_DIR))
     assert "Join" not in q1 and "partial" in q1.lower(), q1
+
+
+def test_tpch_semi_and_anti_join_shapes(spark):
+    """Q4 must plan a LeftSemi (EXISTS — no fan-out on multi-line
+    orders); Q22 a LeftAnti (NOT EXISTS)."""
+    q4 = _executed_plan(E.queries()["tpch_q4"](spark, SF_DIR))
+    assert "LeftSemi" in q4, q4
+    q22 = _executed_plan(E.queries()["tpch_q22"](spark, SF_DIR))
+    assert "LeftAnti" in q22, q22
