@@ -966,6 +966,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": tpch.tpch_q14,
         "tpch_q4": tpch.tpch_q4,
         "tpch_q22": tpch.tpch_q22,
+        "tpch_q1_rollup": tpch.tpch_q1_rollup,
     }
 
 
@@ -1146,6 +1147,7 @@ FROM allc
         "tpch_q14": tpch.tpch_q14_oracle(),
         "tpch_q4": tpch.tpch_q4_oracle(),
         "tpch_q22": tpch.tpch_q22_oracle(),
+        "tpch_q1_rollup": tpch.tpch_q1_rollup_oracle(),
         "event_sessionize_stateful": """
 WITH ev AS (
   SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s

@@ -424,3 +424,49 @@ WHERE c.c_acctbal > avg_bal.ab
                     AND o.o_orderdate >= TIMESTAMP '{Q22_SINCE} 00:00:00')
 GROUP BY c_nationkey
 """
+
+
+def tpch_q1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1's sums at every ROLLUP level — (flag, status), (flag), () —
+    one pass producing all subtotal grains (map-side combinable, same
+    integer-cents determinism); the null grouping indicators render as
+    'ALL' on both engines so the hash is stable."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp")
+    )
+    ep, d = _cents("l_extendedprice"), _pct("l_discount")
+    rows = li.select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (ep * (100 - d)).alias("disc_c"),
+    )
+    return (
+        rows.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("s_qty"),
+            F.sum("disc_c").alias("s_disc"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            F.col("s_qty").cast("long").alias("sum_qty"),
+            F.round(F.col("s_disc") / 10000.0, 2).alias("sum_disc_price"),
+            F.col("n").cast("long").alias("count_order"),
+        )
+    )
+
+
+def tpch_q1_rollup_oracle() -> str:
+    return f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
