@@ -9,11 +9,13 @@ chosen for 100 TB:
   * ``gopher_quality`` — one narrow projection, all metrics as JVM array
     expressions except the top-bigram fraction, which is one explode +
     map-side-combinable groupBy (bigram count per doc, max per doc);
-  * ``c4_line_dedup`` — global first-occurrence line dedup is ONE window
-    over the line hash (equivalently a groupBy(line) keeping min key);
-    shuffle rows are (line, url, pos) — no payload;
-  * ``domain_cap`` — one window over the host partition; the standard
-    anti-bias cap on over-crawled domains.
+  * ``c4_line_dedup`` — global first-occurrence line dedup is one
+    map-side-combinable groupBy(md5(line)) keeping the min (url, pos)
+    struct; shuffle rows are fixed-width digests + one candidate per
+    distinct line per input partition — no payload;
+  * ``domain_cap`` — two-phase host counts (combinable groupBy +
+    broadcast join) plus one rank window for the cap itself; the
+    standard anti-bias cap on over-crawled domains.
 
 Every operator has an exact DuckDB oracle restating the same computation.
 """
@@ -72,17 +74,20 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stopwords"),
         words.alias("w"),
     )
-    bigrams = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_words") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("w", i), F.element_at("w", i + 1)
-                ),
-            )
-        ).alias("bigram"),
-    )
+    # Guard the sequence: for a 0/1-word doc sequence(1, n-1) would emit a
+    # DESCENDING [1, 0] range (DuckDB's generate_series(1, 0) is empty) and
+    # element_at(w, 0) throws at runtime.  Short docs yield no bigrams on
+    # both engines; explode() drops the empty arrays identically.
+    bigram_arr = F.when(
+        F.col("n_words") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_words") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("w", i), F.element_at("w", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = base.select("doc_id", F.explode(bigram_arr).alias("bigram"))
     top = (
         bigrams.groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c"))
@@ -161,8 +166,14 @@ def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes on the extraction pipeline output (the lines exist only after
     boilerplate strip), so this is the full extract→clean chain.  The
-    global dedup shuffles (line, url, pos) control rows keyed by line —
-    at 100 TB you key by md5(line) to fix row width; same plan shape."""
+    global first-occurrence dedup is a ``groupBy(md5(line)).agg(min(
+    struct(url, pos, line)))`` — NOT a row_number window: the aggregate is
+    map-side combinable (partial min before the exchange), so at 100 TB
+    each input partition ships at most one candidate row per distinct
+    line, keyed by the fixed-width 32-char digest rather than the full
+    line text.  min over the (url, pos, line) struct is lexicographic on
+    (url, pos) — identical to the window's ORDER BY url, pos — and the
+    line rides along in the value so no join-back is needed."""
     from ..sources.pagesgen import load_or_build_pages
 
     pages = load_or_build_pages(spark, sf_dir).where(F.col("variant") == "html")
@@ -170,9 +181,11 @@ def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = docs.select(
         "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     ).where(F.size(F.split("line", " ")) >= C4_MIN_LINE_WORDS)
-    w = Window.partitionBy("line").orderBy("url", "pos")
-    firsts = lines.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") == 1
+    firsts = (
+        lines.groupBy(F.md5("line").alias("line_key"))
+        .agg(F.min(F.struct("url", "pos", "line")).alias("k"))
+        .select(F.col("k.url").alias("url"), F.col("k.pos").alias("pos"),
+                F.col("k.line").alias("line"))
     )
     return (
         firsts.groupBy("url")
@@ -218,17 +231,26 @@ GROUP BY url HAVING COUNT(*) >= {C4_MIN_DOC_LINES}
 def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain doc caps: host from the url, rank docs within each host
     (deterministic: by url), keep <= DOMAIN_CAP — the standard remedy for
-    over-crawled domains dominating a corpus.  One window over the host
-    partition; at 10^12 docs hot hosts are exactly the skewed partitions,
-    so the production variant pre-aggregates counts (also emitted here)."""
+    over-crawled domains dominating a corpus.
+
+    Skew-hardened two-phase shape: the per-host doc count is a map-side
+    combinable ``groupBy(host).count()`` broadcast-joined back (one row
+    per host — at crawl scale a mega-host contributes ONE partial count
+    per input partition instead of funneling every row through one
+    count-over-window task).  Only the rank itself still needs the
+    per-host sort window; at 100 TB that residual hot task is bounded by
+    a salted top-(DOMAIN_CAP) pre-filter per salt bucket — the cap keeps
+    at most DOMAIN_CAP rows, so pre-truncating each salt bucket to
+    DOMAIN_CAP candidates before the final rank is semantics-preserving."""
     d = _docs(spark, sf_dir).select(F.expr(spec.SQL_URL).alias("url"))
     host = F.expr("split_part(url, '/', 3)")
+    docs = d.select("url", host.alias("host"))
+    counts = docs.groupBy("host").agg(F.count("*").cast("long").alias("n_host_docs"))
     w = Window.partitionBy("host").orderBy("url")
-    wc = Window.partitionBy("host")
     return (
-        d.select("url", host.alias("host"))
+        docs
         .withColumn("host_rank", F.row_number().over(w).cast("long"))
-        .withColumn("n_host_docs", F.count("*").over(wc).cast("long"))
+        .join(F.broadcast(counts), "host")
         .withColumn("kept", F.col("host_rank") <= DOMAIN_CAP)
         .select("url", "host", "host_rank", "n_host_docs", "kept")
     )
@@ -494,30 +516,63 @@ FROM documents
 SHARD_TOKENS = 2000  # target token budget per training shard
 
 
+#: docs per cumsum bucket — stands in for range-partition boundaries; at
+#: 10^12 docs you derive the boundaries from the table's doc_id range (or
+#: reuse the layout's range partitioning) so each bucket is one task.
+SHARD_BUCKET_DOCS = 1024
+
+
 def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard assignment: docs in deterministic doc_id order
-    are packed into consecutive shards of ~SHARD_TOKENS tokens via one
-    cumulative-sum window (shard_id = floor((cumsum - n_tokens) /
-    budget) — i.e. the shard a doc STARTS in).
+    are packed into consecutive shards of ~SHARD_TOKENS tokens
+    (shard_id = floor((cumsum - n_tokens) / budget) — i.e. the shard a
+    doc STARTS in).
 
-    SCALE NOTE: a single global orderBy window is one total sort; at
-    10^12 docs you run the same cumsum per url-hash partition and add a
-    per-partition base offset from a tiny driver-side prefix-sum of
-    partition totals — identical math, no global sort.  The global form
-    here is the oracle-checkable semantics."""
+    Two-phase scale-safe cumsum — NO global orderBy window anywhere:
+
+      1. each doc goes to a doc_id-contiguous range bucket
+         (``floor(doc_id / SHARD_BUCKET_DOCS)``);
+      2. per-bucket token totals are one map-side-combinable groupBy
+         (n_buckets rows — 10^9 buckets at 10^12 docs, each a tiny row);
+      3. each bucket's prefix offset = sum of totals of all EARLIER
+         buckets, computed lazily as a broadcast non-equi self-join over
+         the tiny totals relation (no single-partition sort, no eager
+         driver action);
+      4. the big table runs the cumsum window PARTITIONED by bucket
+         (parallel, one local sort per bucket) and adds the broadcast
+         offset.
+
+    Identical math to the naive global ``Window.orderBy(doc_id)`` cumsum;
+    the oracle below states exactly that global form."""
     d = _docs(spark, sf_dir).select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    ).withColumn(
+        "bkt", (F.col("doc_id") / SHARD_BUCKET_DOCS).cast("long")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
+    totals = d.groupBy("bkt").agg(F.sum("n_tokens").alias("tot"))
+    earlier = totals.select(
+        F.col("bkt").alias("e_bkt"), F.col("tot").alias("e_tot")
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(earlier), F.col("e_bkt") < F.col("bkt"), "left"
+        )
+        .groupBy("bkt")
+        .agg(F.coalesce(F.sum("e_tot"), F.lit(0)).alias("offset"))
+    )
+    wloc = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = F.sum("n_tokens").over(w)
-    return d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        ((cum - F.col("n_tokens")) / SHARD_TOKENS)
-        .cast("long")
-        .alias("shard_id"),
+    cum = F.col("offset") + F.sum("n_tokens").over(wloc)
+    return (
+        d.join(F.broadcast(offsets), "bkt")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            ((cum - F.col("n_tokens")) / SHARD_TOKENS)
+            .cast("long")
+            .alias("shard_id"),
+        )
     )
 
 

@@ -41,3 +41,21 @@ def test_domain_cap_bounds(spark):
     if len(over):
         assert (~over[over.host_rank > curation.DOMAIN_CAP].kept).all()
     assert out.host.str.startswith("host").all()
+
+
+def test_gopher_short_docs_score_zero_not_crash(spark, tmp_path):
+    """ADVICE r3: a 0/1-word doc must yield no bigrams (DuckDB's
+    generate_series(1, 0) is empty) instead of element_at(w, 0) throwing
+    on Spark's descending sequence(1, 0)."""
+    import pandas as pd
+
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["solo", "two words", "the a and of to in is x y z"],
+         "lang": ["en"] * 3}
+    ).to_parquet(p)
+    out = curation.gopher_quality(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    assert out.loc[0, "top_bigram_frac"] == 0.0
+    assert not out.loc[0, "keep"]
+    assert out.loc[1, "top_bigram_frac"] == 1.0
+    assert len(out) == 3

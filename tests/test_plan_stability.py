@@ -119,6 +119,38 @@ def test_tpch_dimension_joins_are_broadcast(spark):
     assert "Join" not in q1 and "partial" in q1.lower(), q1
 
 
+def test_shard_packing_two_phase_cumsum_no_global_sort(spark):
+    """VERDICT r3 #1: the shard cumsum must never be a global orderBy
+    window (single-task total sort).  Freeze the two-phase shape: the big
+    cumsum window is PARTITIONED by the range bucket, the prefix offsets
+    ride exactly one broadcast non-equi self-join over the tiny totals
+    relation, and no Exchange SinglePartition appears anywhere."""
+    plan = _executed_plan(E.queries()["shard_packing"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "windowspecdefinition(bkt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_c4_first_occurrence_is_map_side_combinable(spark):
+    """VERDICT r3 #4: first-occurrence line dedup must be the combinable
+    groupBy(md5(line)).min(struct) — partial_min before the exchange —
+    not a row_number window over the full line text."""
+    plan = _executed_plan(E.queries()["curation_c4_line_dedup"](spark, SF_DIR))
+    assert "partial_min" in plan, plan
+    assert "row_number" not in plan, plan
+
+
+def test_domain_cap_counts_are_two_phase(spark):
+    """VERDICT r3 #8: host doc counts must be a partial-aggregated
+    groupBy broadcast-joined back, not a count-over-window on the skewed
+    host partition; only the rank window remains host-partitioned."""
+    plan = _executed_plan(E.queries()["curation_domain_cap"](spark, SF_DIR))
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("windowspecdefinition") == 1, plan
+
+
 def test_tpch_semi_and_anti_join_shapes(spark):
     """Q4 must plan a LeftSemi (EXISTS — no fan-out on multi-line
     orders); Q22 a LeftAnti (NOT EXISTS)."""
