@@ -157,6 +157,51 @@ def _q_extract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
+def _q_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming exact dedup under the oracle gate (VERDICT r3
+    #7): the documents table replayed as a file stream — event times 13 s
+    apart from doc_id, PLUS a duplicate copy of every 5th doc one hour
+    later, so the stream really must drop rows — deduped by md5(text) via
+    dropDuplicatesWithinWatermark and drained with Trigger.AvailableNow
+    into an exactly-once parquet sink.  The horizon covers the replay
+    span, so the emitted hash set must equal the batch DISTINCT set
+    exactly: one row per distinct content hash, none lost, none doubled.
+    (Which group member wins inside a microbatch is execution-order
+    dependent, so the gate projects the deterministic content hash;
+    first-occurrence semantics are pinned by the batch-twin parity test
+    in tests/test_streaming.py.)"""
+    import shutil
+    import tempfile
+
+    from pdfplumber_golang_spark.streaming.dedup import stream_dedup_docs
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, 13 * doc_id)"
+        ).alias("ts"),
+        "text",
+    )
+    dups = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("ts + make_dt_interval(0, 1, 0, 0)").alias("ts"),
+        "text",
+    )
+    root = tempfile.mkdtemp(prefix="sdedup_q_")
+    try:
+        in_dir = os.path.join(root, "in")
+        base.unionAll(dups).repartition(8).write.parquet(in_dir)
+        q = stream_dedup_docs(
+            spark, in_dir, os.path.join(root, "out"), os.path.join(root, "ckpt")
+        )
+        q.awaitTermination(600)
+        out = spark.read.parquet(os.path.join(root, "out")).select("h")
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema="h string")
+
+
 def _q_extract_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming extraction under the hash gate: the pages
     table written as many parquet files, drained by streaming/ingest.
@@ -895,6 +940,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_checkpointed": _q_extract_checkpointed,
         "extract_text_incremental": _q_extract_incremental,
         "extract_text_streamed": _q_extract_streamed,
+        "dedup_streamed": _q_dedup_streamed,
         "extract_text_ckpt_resume": _q_extract_ckpt_resume,
         "extract_text_pdf": _q_extract_pdf,
         "pdf_page_counts": _q_page_counts,
@@ -967,6 +1013,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": tpch.tpch_q4,
         "tpch_q22": tpch.tpch_q22,
         "tpch_q1_rollup": tpch.tpch_q1_rollup,
+        "tpch_q13": tpch.tpch_q13,
+        "tpch_q17": tpch.tpch_q17,
+        "tpch_q21": tpch.tpch_q21,
     }
 
 
@@ -983,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
             + " UNION ALL "
             + spec.pdf_golden_duckdb_sql(spec.SQL_IS_PDF)
         ),
+        "dedup_streamed": "SELECT DISTINCT md5(text) AS h FROM documents",
         "extract_text_checkpointed": (
             spec.html_golden_duckdb_sql(spec.SQL_IS_HTML)
             + " UNION ALL "
@@ -1148,6 +1198,9 @@ FROM allc
         "tpch_q4": tpch.tpch_q4_oracle(),
         "tpch_q22": tpch.tpch_q22_oracle(),
         "tpch_q1_rollup": tpch.tpch_q1_rollup_oracle(),
+        "tpch_q13": tpch.tpch_q13_oracle(),
+        "tpch_q17": tpch.tpch_q17_oracle(),
+        "tpch_q21": tpch.tpch_q21_oracle(),
         "event_sessionize_stateful": """
 WITH ev AS (
   SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s

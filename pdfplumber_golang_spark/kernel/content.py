@@ -518,8 +518,13 @@ class Interpreter:
             self._form_depth += 1
             self.op_q([])
             self.op_cm(list(meta["matrix"]))
+            # q/Q semantics treat ALL text-state parameters as part of
+            # graphics state (PDF 32000-1 §9.3.1) — save/restore the full
+            # set so Tc/Tw/Tz/TL/Tr/Ts set inside the form do not leak
+            # into subsequent page content.
             saved = (self.fonts, self.xobjects, self.font, self.font_size,
-                     self.tm, self.tlm)
+                     self.tm, self.tlm, self.char_space, self.word_space,
+                     self.hscale, self.leading, self.rise, self.render_mode)
             if meta.get("fonts"):
                 self.fonts = meta["fonts"]
             if meta.get("xobjects") is not None:
@@ -528,7 +533,9 @@ class Interpreter:
                 self.run(meta["stream"])
             finally:
                 (self.fonts, self.xobjects, self.font, self.font_size,
-                 self.tm, self.tlm) = saved
+                 self.tm, self.tlm, self.char_space, self.word_space,
+                 self.hscale, self.leading, self.rise,
+                 self.render_mode) = saved
                 self.op_Q([])
                 self._form_depth -= 1
             return

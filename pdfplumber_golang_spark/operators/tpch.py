@@ -381,24 +381,33 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     with NO orders since Q22_SINCE — the NOT-EXISTS / LEFT-ANTI join
     shape, grouped by nation (every customer has SOME order in this
     fixture, so the recency window is what makes the anti-join
-    discriminate)."""
-    cust = _t(spark, sf_dir, "customer")
-    # driver-side scalar: the average balance (one tiny agg, like the
-    # reference query's subquery)
-    avg_bal = cust.agg(F.avg("c_acctbal")).collect()[0][0]
-    rich = cust.where(F.col("c_acctbal") > avg_bal).select(
-        "c_custkey", "c_nationkey", "c_acctbal"
+    discriminate).
+
+    The above-average threshold is EXACT integer arithmetic: customer
+    qualifies iff ``bal_c * n_all > sum_c`` (all integer cents) — a
+    floating avg() would be addition-order-dependent and Spark's
+    partition-parallel sum vs DuckDB's serial one can flip customers
+    sitting at the boundary by a ULP.  The 1-row corpus aggregate rides a
+    broadcast join (lazy; no eager ``collect`` job in the plan)."""
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", cents.alias("bal_c")
     )
+    stats = cust.agg(
+        F.sum("bal_c").alias("sum_c"), F.count("*").alias("n_all")
+    )
+    rich = cust.join(
+        F.broadcast(stats),
+        F.col("bal_c") * F.col("n_all") > F.col("sum_c"),
+    ).select("c_custkey", "c_nationkey", "bal_c")
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit(Q22_SINCE).cast("timestamp")
     ).select("o_custkey")
     no_orders = rich.join(
         orders, rich.c_custkey == orders.o_custkey, "left_anti"
     )
-    cents = F.round(F.col("c_acctbal") * 100).cast("long")
     return (
-        no_orders.select("c_nationkey", cents.alias("bal_c"))
-        .groupBy("c_nationkey")
+        no_orders.groupBy("c_nationkey")
         .agg(
             F.count("*").cast("long").alias("n_cust"),
             F.round(F.sum("bal_c") / 100.0, 2).alias("total_acctbal"),
@@ -412,17 +421,194 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q22_oracle() -> str:
     return f"""
-WITH avg_bal AS (SELECT AVG(c_acctbal) AS ab FROM customer)
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+stats AS (SELECT SUM(bal_c) AS sum_c, COUNT(*) AS n_all FROM c)
 SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS n_cust,
-       ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
-         AS total_acctbal
-FROM customer c, avg_bal
-WHERE c.c_acctbal > avg_bal.ab
+       ROUND(SUM(bal_c) / 100.0, 2) AS total_acctbal
+FROM c, stats
+WHERE bal_c * n_all > sum_c
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '{Q22_SINCE} 00:00:00')
 GROUP BY c_nationkey
+"""
+
+
+Q13_EXCLUDE = "5-LOW"
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (Q13): the outer-join aggregate
+    shape — customers with ZERO qualifying orders must survive with
+    c_count = 0 (the filter stands in for TPC-H's o_comment NOT LIKE).
+
+    Scale shape: orders pre-aggregate to one count row per customer
+    (map-side combinable partial count BEFORE the exchange), then one
+    left join against customers — the big orders relation never shuffles
+    whole rows, only (custkey, count)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != Q13_EXCLUDE)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    per_cust = cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left"
+    ).select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select(
+            F.col("c_count").cast("long").alias("c_count"),
+            F.col("custdist").cast("long").alias("custdist"),
+        )
+    )
+
+
+def tpch_q13_oracle() -> str:
+    return f"""
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '{Q13_EXCLUDE}'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+Q17_BRAND = "Brand#12"
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (Q17): the correlated per-group scalar
+    subquery shape — each lineitem compares against the avg quantity OF
+    ITS OWN PART.  The per-part aggregate is a broadcast join-back
+    (bounded by the brand-filtered part count), and the 0.2*avg threshold
+    is exact integer arithmetic: ``qty * 5 * n_li < sum_qty`` — no float
+    division anywhere until the final projection."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("ep_c"),
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "qty", "ep_c"
+    )
+    stats = j.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("n_li")
+    )
+    small = j.join(F.broadcast(stats), "l_partkey").where(
+        F.col("qty") * 5 * F.col("n_li") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(F.sum("ep_c") / 700.0, 2).alias("avg_yearly")
+    )
+
+
+def tpch_q17_oracle() -> str:
+    return f"""
+WITH j AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ep_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+stats AS (
+  SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n_li
+  FROM j GROUP BY l_partkey
+)
+SELECT ROUND(SUM(ep_c) / 700.0, 2) AS avg_yearly
+FROM j JOIN stats USING (l_partkey)
+WHERE qty * 5 * n_li < sum_qty
+"""
+
+
+Q21_NATION = "NATION_3"
+Q21_TOPK = 10
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (Q21): the stacked
+    EXISTS + NOT-EXISTS shape — for 'F' orders, a supplier's line is
+    "late" when shipped after the order date (this schema's lateness
+    proxy, as in Q4); keep suppliers of Q21_NATION whose late line is on
+    an order where ANOTHER supplier also has a line (left-semi) but NO
+    other supplier was late (left-anti).  Deterministic top-k by
+    (numwait DESC, s_name)."""
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == Q21_NATION)
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).where(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey", "l_suppkey")
+    l1 = late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    waited = l1.join(
+        other,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        other_late,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_TOPK)
+    )
+
+
+def tpch_q21_oracle() -> str:
+    return f"""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{Q21_NATION}'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey != l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT {Q21_TOPK}
 """
 
 

@@ -34,6 +34,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced to commit the same version; the loser must
+    re-read the table head and retry its commit."""
+
+
 def _meta_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "metadata")
 
@@ -108,10 +113,22 @@ def _commit(
         "added_files": added,
     }
     path = _manifest_path(table_dir, version)
-    tmp = path + ".tmp"
+    tmp = path + f".{manifest['snapshot_id']}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
-    os.replace(tmp, path)
+    # Compare-and-swap: exclusive-create the manifest via os.link so a
+    # concurrent committer that raced to the same parent fails with
+    # FileExistsError instead of silently overwriting this commit (the
+    # same optimistic-concurrency contract as Iceberg's metadata swap).
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        os.remove(tmp)
+        raise ConcurrentCommitError(
+            f"snapshot v{version} already committed by another writer; "
+            "re-read the current version and retry"
+        )
+    os.remove(tmp)
     # the atomic pointer swap IS the commit
     tmp = _hint_path(table_dir) + ".tmp"
     with open(tmp, "w") as f:
@@ -196,5 +213,9 @@ def read_incremental(
                 f"snapshot v{snap['version']} is {snap['operation']!r}; "
                 "incremental reads only cross appends"
             )
-        added.extend(snap["files"][-snap["added_files"]:])
+        # an append of an empty DataFrame commits zero data files; guard
+        # the slice — [-0:] would return the ENTIRE cumulative file list
+        # and duplicate every prior row in the changelog read
+        if snap["added_files"]:
+            added.extend(snap["files"][-snap["added_files"]:])
     return _read_files(spark, table_dir, added, m["schema"])

@@ -69,3 +69,42 @@ def batch_dedup_first(spark: SparkSession, in_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+DOC_WATERMARK = "30 days"
+
+DOC_REPLAY_SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def stream_dedup_docs(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = DOC_WATERMARK,
+) -> StreamingQuery:
+    """File-stream a (doc_id, ts, text) replay of the documents table and
+    keep one row per content hash via ``dropDuplicatesWithinWatermark``,
+    sinking exactly-once to parquet with Trigger.AvailableNow.
+
+    The default horizon covers the whole fixture replay span so the
+    emitted hash set equals the batch distinct set EXACTLY (the oracle
+    gate's check); in production the horizon is the dedup retention
+    policy — state is one 16-byte digest per distinct doc within it."""
+    docs = (
+        spark.readStream.schema(DOC_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+    deduped = (
+        docs.select("doc_id", "ts", F.md5("text").alias("h"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["h"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -152,3 +152,52 @@ def test_cropbox_inherited_and_defaulted():
                   b" /MediaBox [0 0 612 792] >>")
     doc2 = PDFDocument(_assemble(objects))
     assert doc2.pages[0].cropbox == doc2.pages[0].mediabox
+
+
+def test_form_xobject_text_state_does_not_leak():
+    """ADVICE r3: Tc/Tw/Tz/TL/Ts/Tr set INSIDE a form are graphics state
+    under q/Q semantics — after the Do returns, page-level text must see
+    the defaults again (not the form's spacing), so glyph advances after
+    the form are unchanged."""
+    from pdfplumber_golang_spark.kernel.extract import parse_pdf_objects
+    from pdfplumber_golang_spark.kernel.pdfwrite import (
+        _FONT_SIMPLE, _assemble, _stream_obj,
+    )
+
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [10 0 R] /Count 1"
+           b" /MediaBox [0 0 612 792] >>",
+        3: _FONT_SIMPLE,
+        20: _stream_obj(
+            b"BT /F1 12 Tf 9 Tc 7 Tw 50 Tz 33 TL 4 Ts 2 Tr"
+            b" 72 700 Td (inside) Tj ET",
+            flate=False,
+            extra=b" /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+                  b" /Resources << /Font << /F1 3 0 R >> >>",
+        ),
+        10: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R"
+            b" /Resources << /XObject << /Fm0 20 0 R >>"
+            b" /Font << /F1 3 0 R >> >> >>"
+        ),
+        11: _stream_obj(
+            b"/Fm0 Do BT /F1 12 Tf 72 600 Td (ab cd) Tj ET",
+            flate=False,
+        ),
+    }
+    data = _assemble(objects)
+    for _, _, interp in parse_pdf_objects(data):
+        assert interp.char_space == 0.0
+        assert interp.word_space == 0.0
+        assert interp.hscale == 100.0
+        assert interp.leading == 0.0
+        assert interp.rise == 0.0
+        assert interp.render_mode == 0
+        # the page text after the form advances with DEFAULT spacing:
+        # consecutive glyphs at 12pt differ by width*12 (<= 9.6), with no
+        # leaked +9 Tc / +7 Tw; chars are (ch, font, size, x, y, ...)
+        xs = sorted(c[3] for c in interp.chars if c[4] == 600.0)
+        assert len(xs) == 5, interp.chars
+        gaps = [round(b - a, 2) for a, b in zip(xs, xs[1:])]
+        assert gaps and all(g < 10 for g in gaps), gaps

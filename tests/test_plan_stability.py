@@ -153,8 +153,18 @@ def test_domain_cap_counts_are_two_phase(spark):
 
 def test_tpch_semi_and_anti_join_shapes(spark):
     """Q4 must plan a LeftSemi (EXISTS — no fan-out on multi-line
-    orders); Q22 a LeftAnti (NOT EXISTS)."""
+    orders); Q22 a LeftAnti (NOT EXISTS) with its above-average threshold
+    as a lazy 1-row broadcast (no eager collect job); Q21 stacks BOTH
+    (EXISTS other-supplier + NOT-EXISTS other-late-supplier); Q13's
+    order counts partial-aggregate before the outer join."""
     q4 = _executed_plan(E.queries()["tpch_q4"](spark, SF_DIR))
     assert "LeftSemi" in q4, q4
     q22 = _executed_plan(E.queries()["tpch_q22"](spark, SF_DIR))
     assert "LeftAnti" in q22, q22
+    assert "BroadcastNestedLoopJoin" in q22, q22  # the 1-row stats join
+    q21 = _executed_plan(E.queries()["tpch_q21"](spark, SF_DIR))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21, q21
+    assert "CartesianProduct" not in q21, q21
+    q13 = _executed_plan(E.queries()["tpch_q13"](spark, SF_DIR))
+    assert "partial_count" in q13, q13
+    assert "CartesianProduct" not in q13, q13

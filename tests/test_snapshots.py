@@ -89,3 +89,35 @@ def test_incremental_extraction_composition(spark, tdir):
     assert merged.count() == full.count()
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_empty_append_yields_empty_changelog(spark, tdir):
+    """ADVICE r3: an append that commits zero data files must make
+    read_incremental return NOTHING — the [-0:] slice of the cumulative
+    file list would otherwise replay every prior row."""
+    pages = load_or_build_pages(spark, SF_DIR).select("url", "html").limit(10)
+    v1 = S.write_snapshot(pages, tdir)
+    v2 = S.append_snapshot(pages.where(F.lit(False)), tdir)
+    assert v2 == v1 + 1
+    assert S.read_incremental(spark, tdir, since_version=v1).count() == 0
+    # and the snapshot itself still reads the full prior contents
+    assert S.read_snapshot(spark, tdir).count() == 10
+
+
+def test_concurrent_commit_loser_fails_not_overwrites(spark, tdir):
+    """ADVICE r3: two writers racing to the same parent version must not
+    both 'win' — the second manifest create fails (compare-and-swap), so
+    no committed snapshot is ever silently discarded."""
+    pages = load_or_build_pages(spark, SF_DIR).select("url", "html").limit(10)
+    S.write_snapshot(pages, tdir)
+    # simulate the race: both writers read parent=1, writer A commits v2
+    files_a = S._write_files(pages.limit(3), tdir, "aaaa")
+    files_b = S._write_files(pages.limit(5), tdir, "bbbb")
+    schema = pages.schema.json()
+    S._commit(tdir, files_a, schema, 1, "append", len(files_a))
+    with pytest.raises(S.ConcurrentCommitError):
+        S._commit(tdir, files_b, schema, 1, "append", len(files_b))
+    # writer A's commit is intact and current
+    assert S.current_version(tdir) == 2
+    m = S.read_manifest(tdir, 2)
+    assert m["added_files"] == len(files_a)
