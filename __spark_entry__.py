@@ -944,6 +944,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_ckpt_resume": _q_extract_ckpt_resume,
         "extract_text_pdf": _q_extract_pdf,
         "pdf_page_counts": _q_page_counts,
+        "page_render": multimodal.render_pdf_pages,
         "error_routing": _q_error_routing,
         "layout_line_sessionize": _q_line_sessionize,
         "layout_line_texts": _q_line_texts,
@@ -1055,6 +1056,20 @@ SELECT {spec.SQL_URL} AS url,
        END AS n_pages,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents WHERE {spec.SQL_IS_PDF}
+""",
+        "page_render": f"""
+WITH p AS (
+  SELECT {spec.SQL_URL} AS url,
+         CASE WHEN doc_id % 10 = 9
+              THEN ((length(text) - 1) // {w}) // {mp_lines} + 1
+              ELSE ((length(text) - 1) // {w}) // {per_page} + 1
+         END AS n_pages
+  FROM documents WHERE {spec.SQL_IS_PDF}
+)
+SELECT url, CAST(i AS BIGINT) AS page_no,
+       CAST(612 AS BIGINT) AS w_px, CAST(792 AS BIGINT) AS h_px,
+       TRUE AS has_glyphs, TRUE AS levels_ok
+FROM (SELECT url, unnest(generate_series(1, n_pages)) AS i FROM p)
 """,
         "error_routing": f"""
 SELECT {spec.SQL_URL} AS url, CAST(1 AS BIGINT) AS n_errors

@@ -175,6 +175,67 @@ class Page:
             "anno": [ObjectView("anno", a) for a in self.annotations],
         }
 
+    def to_image(self, resolution: int = 72, format: str = "png") -> bytes:
+        """Render the page's objects to a grayscale PNG for visual
+        debugging.  The reference DECLARES this API but stubs it in all
+        three backends ("image rendering not yet implemented",
+        page/page.go:224-232, document_dslipak.go:446-449,
+        document_ledongthuc.go:476-479, page_pdfcpu.go:527-530); the
+        declared option surface (resolution px/inch + format,
+        types.go:395-401) is honored for real here.  Rect fills paint
+        light gray (220) with outlines (96), edges and curve polylines
+        stroke dark (32), glyph boxes fill mid gray (160), on a white
+        page; PDF's bottom-left origin flips to image orientation.  The
+        output round-trips through functions.multimodal.decode_png_pixels."""
+        if format != "png":
+            raise ValueError(f"unsupported format {format!r} (png only)")
+        from .functions.multimodal import encode_gray_png
+
+        s = resolution / 72.0
+        w_px = max(1, int(round(self.width * s)))
+        h_px = max(1, int(round(self.height * s)))
+        x_off, y_off = self.mediabox[0], self.mediabox[1]
+        buf = bytearray(b"\xff" * (w_px * h_px))
+
+        def px(x: float) -> int:
+            return min(w_px - 1, max(0, int((x - x_off) * s)))
+
+        def py(y: float) -> int:
+            return min(h_px - 1, max(0, h_px - 1 - int((y - y_off) * s)))
+
+        def fill(x0, y0, x1, y1, v: int) -> None:
+            cx0, cx1 = px(min(x0, x1)), px(max(x0, x1))
+            cy0, cy1 = py(max(y0, y1)), py(min(y0, y1))
+            for yy in range(cy0, cy1 + 1):
+                row = yy * w_px
+                for xx in range(cx0, cx1 + 1):
+                    if v < buf[row + xx]:
+                        buf[row + xx] = v
+
+        def stroke(x0, y0, x1, y1, v: int) -> None:
+            n = max(abs(px(x1) - px(x0)), abs(py(y1) - py(y0)), 1)
+            for i in range(n + 1):
+                t = i / n
+                idx = py(y0 + (y1 - y0) * t) * w_px + px(x0 + (x1 - x0) * t)
+                if v < buf[idx]:
+                    buf[idx] = v
+
+        for r in self.rects:
+            fill(r[0], r[1], r[2], r[3], 220)
+            stroke(r[0], r[1], r[2], r[1], 96)
+            stroke(r[0], r[3], r[2], r[3], 96)
+            stroke(r[0], r[1], r[0], r[3], 96)
+            stroke(r[2], r[1], r[2], r[3], 96)
+        for e in self.edges:
+            stroke(e[0], e[1], e[2], e[3], 32)
+        for c in self.curves:
+            pts = c[0]
+            for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+                stroke(ax, ay, bx, by, 32)
+        for ch in self.chars:
+            fill(ch[3], ch[4], ch[5], ch[6], 160)
+        return encode_gray_png(w_px, h_px, bytes(buf))
+
     # -- geometric ops (G1-G3) --------------------------------------------
     def crop(self, bbox: tuple[float, float, float, float]) -> "Page":
         """G1/G2: new page with objects intersecting bbox

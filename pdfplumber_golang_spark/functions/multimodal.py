@@ -257,6 +257,24 @@ def png_bytes(width: int, height: int) -> bytes:
     )
 
 
+def encode_gray_png(width: int, height: int, pixels: bytes) -> bytes:
+    """General-purpose 8-bit grayscale PNG encoder — the write-side
+    counterpart of decode_png_pixels (filter-0 scanlines, real DEFLATE
+    via zlib).  ``pixels`` is row-major, top row first, len = w*h."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def gif_bytes(width: int, height: int) -> bytes:
     """GIF89a header + logical screen descriptor (no color table) +
     trailer: always 14 bytes."""
@@ -431,3 +449,54 @@ SELECT {spec.SQL_URL} AS url,
        CAST(1 + doc_id % {_H_MOD} AS BIGINT) AS height
 FROM documents
 """
+
+
+PAGE_RENDER_SCHEMA = (
+    "url string, page_no long, w_px long, h_px long,"
+    " has_glyphs boolean, levels_ok boolean"
+)
+
+#: the renderer's exact gray palette (api.Page.to_image)
+_RENDER_LEVELS = frozenset({255, 220, 160, 96, 32})
+
+
+def render_pdf_pages(spark, sf_dir: str):
+    """Distributed ``Page.to_image`` over the PDF corpus: one
+    Arrow-batched mapInPandas pass opens each payload with the facade
+    API, renders every page to a grayscale PNG, and emits closed-form
+    invariants — raster dims from the mediabox, glyph coverage, and the
+    renderer's exact gray palette.  Each PNG round-trips through
+    decode_png_pixels inside the same task, so a green oracle row
+    certifies renderer + encoder + decoder together.  (The reference
+    stubs ToImage in all three backends — page/page.go:224-232 — so this
+    is beyond-parity surface; the scale shape is the extraction kernel's:
+    scan-aligned, no payload shuffle, pure map-side.)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..sources.pagesgen import load_or_build_pages
+
+    def render(batches):
+        from .. import api
+
+        for b in batches:
+            out = {k: [] for k in
+                   ("url", "page_no", "w_px", "h_px", "has_glyphs",
+                    "levels_ok")}
+            for url, raw in zip(b["url"], b["html"]):
+                doc = api.open_bytes(bytes(raw))
+                for i in range(1, doc.page_count() + 1):
+                    png = doc.get_page(i).to_image()
+                    w, h, _ch, pix = decode_png_pixels(png)
+                    out["url"].append(url)
+                    out["page_no"].append(i)
+                    out["w_px"].append(w)
+                    out["h_px"].append(h)
+                    out["has_glyphs"].append(160 in pix)
+                    out["levels_ok"].append(set(pix) <= _RENDER_LEVELS)
+            yield pd.DataFrame(out)
+
+    pages = load_or_build_pages(spark, sf_dir).where(
+        F.col("variant").startswith("pdf_")
+    ).select("url", "html")
+    return pages.mapInPandas(render, PAGE_RENDER_SCHEMA)

@@ -148,3 +148,46 @@ def test_annotation_objects_extracted():
     assert annos[0].get_bbox() == (40.0, 700.0, 100.0, 712.0)
     note = annos[-1].get_properties()
     assert note == {"type": "Text", "contents": "note 3", "url": ""}
+
+
+def test_to_image_renders_objects_to_png():
+    """Page.to_image — the one reference API stubbed in all three Go
+    backends ("image rendering not yet implemented") — renders for real
+    here: the PNG round-trips through decode_png_pixels, glyph boxes
+    cover the text band, and the graphics variant's ruling grid paints
+    dark strokes + light rect fills."""
+    from pdfplumber_golang_spark.functions.multimodal import decode_png_pixels
+
+    data, _ = build_pdf(42, TEXT.strip(), "pdf_plain")
+    page = api.open_bytes(data).get_page(1)
+    png = page.to_image()
+    w, h, ch, pix = decode_png_pixels(png)
+    assert (w, h, ch) == (int(spec.PAGE_W), int(spec.PAGE_H), 1)
+    # glyph boxes: mid-gray (160) pixels at a known char bbox center
+    c = page.chars[0]
+    cx, cy = int((c[3] + c[5]) / 2), h - 1 - int((c[4] + c[6]) / 2)
+    assert pix[cy * w + cx] == 160
+    # page margins stay white
+    assert pix[0] == 255 and pix[h * w - 1] == 255
+
+    # resolution option scales the raster
+    png2x = page.to_image(resolution=144)
+    w2, h2, _, _ = decode_png_pixels(png2x)
+    assert (w2, h2) == (2 * w, 2 * h)
+
+    # graphics variant: ruled grid -> dark strokes (32) among the glyphs
+    gdata, _ = build_pdf(7, TEXT.strip(), "pdf_graphics")
+    gpage = api.open_bytes(gdata).get_page(1)
+    _, _, _, gpix = decode_png_pixels(gpage.to_image())
+    assert {32, 160} <= set(gpix)
+    # rowrects variant: filled row rectangles -> light fills (220) +
+    # outlines (96)
+    rdata, _ = build_pdf(7, TEXT.strip(), "pdf_rowrects")
+    rpage = api.open_bytes(rdata).get_page(1)
+    assert rpage.rects, "rowrects fixture must emit rect objects"
+    _, _, _, rpix = decode_png_pixels(rpage.to_image())
+    assert {220, 96, 160} <= set(rpix)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        page.to_image(format="jpeg")
