@@ -1017,6 +1017,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": tpch.tpch_q13,
         "tpch_q17": tpch.tpch_q17,
         "tpch_q21": tpch.tpch_q21,
+        "tpch_q7": tpch.tpch_q7,
+        "tpch_q8": tpch.tpch_q8,
+        "tpch_q9": tpch.tpch_q9,
+        "tpch_q10": tpch.tpch_q10,
+        "tpch_q15": tpch.tpch_q15,
+        "tpch_q19": tpch.tpch_q19,
+        "tpch_q20": tpch.tpch_q20,
     }
 
 
@@ -1216,6 +1223,13 @@ FROM allc
         "tpch_q13": tpch.tpch_q13_oracle(),
         "tpch_q17": tpch.tpch_q17_oracle(),
         "tpch_q21": tpch.tpch_q21_oracle(),
+        "tpch_q7": tpch.tpch_q7_oracle(),
+        "tpch_q8": tpch.tpch_q8_oracle(),
+        "tpch_q9": tpch.tpch_q9_oracle(),
+        "tpch_q10": tpch.tpch_q10_oracle(),
+        "tpch_q15": tpch.tpch_q15_oracle(),
+        "tpch_q19": tpch.tpch_q19_oracle(),
+        "tpch_q20": tpch.tpch_q20_oracle(),
         "event_sessionize_stateful": """
 WITH ev AS (
   SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s

@@ -1,9 +1,19 @@
 """Classic relational queries over the driver's TPC-H-ish tables.
 
-The extraction engine's host tables (lineitem/orders/customer/nation/
-region/supplier) get the three canonical shapes: the big scan-agg (Q1),
-the selective 3-way join + top-k (Q3), and the 6-way star join (Q5) —
-broadcast for every dimension side, shuffle only on the fact keys.
+18 of the 22 TPC-H queries run over the host tables (lineitem/orders/
+customer/supplier/part/nation/region), plus a ROLLUP variant of Q1:
+Q1 3 4 5 6 7 8 9 10 13 14 15 17 18 19 20 21 22.  Every canonical shape
+is covered: scan-agg (Q1), join+top-k (Q3/Q10), star joins (Q5/Q7/Q8),
+conditional-sum ratios (Q8/Q14), outer-join count distribution (Q13),
+scalar-max join (Q15), correlated per-group scalar (Q17), HAVING semi
+(Q18/Q20), disjunctive join predicate (Q19), stacked EXISTS/NOT-EXISTS
+(Q21), anti join with lazy global threshold (Q22).  The remaining four
+(Q2, Q11, Q16, Q12) need columns this schema does not carry — partsupp/
+supplycost/availqty for Q2/Q11/Q16, l_shipmode+commit/receipt dates for
+Q12 — so they are unimplementable here, not skipped; Q9 and Q20 run
+adapted (profit = discounted revenue; availqty = shipped qty).
+
+Dimension sides broadcast everywhere; facts shuffle only on join keys.
 
 Cross-engine float determinism: money columns are DOUBLEs holding exact
 cent values, discounts/taxes exact integer percents (verified in tests).
@@ -655,4 +665,416 @@ SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_FROM, Q7_TO = "1996-01-01", "1998-01-01"
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (Q7): revenue flowing between two nations in either
+    direction, by (supplier nation, customer nation, ship year).  Both
+    nation-tagged dims broadcast; the disjunctive nation-pair predicate
+    evaluates after the equi-joins, so the fact tables still shuffle only
+    on their keys."""
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q7_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_TO).cast("timestamp"))
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_c"),
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
+            | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_c").alias("s_rev"))
+        .select(
+            "supp_nation", "cust_nation",
+            F.col("l_year").cast("long").alias("l_year"),
+            F.round(F.col("s_rev") / 10000.0, 2).alias("revenue"),
+        )
+    )
+
+
+def tpch_q7_oracle() -> str:
+    return f"""
+SELECT sn AS supp_nation, cn AS cust_nation, yr AS l_year,
+       ROUND(SUM(rev_c) / 10000.0, 2) AS revenue
+FROM (
+  SELECT ns.n_name AS sn, nc.n_name AS cn,
+         CAST(year(l_shipdate) AS BIGINT) AS yr,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '{Q7_FROM} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q7_TO} 00:00:00'
+    AND ((ns.n_name = '{Q7_NATION_A}' AND nc.n_name = '{Q7_NATION_B}')
+      OR (ns.n_name = '{Q7_NATION_B}' AND nc.n_name = '{Q7_NATION_A}'))
+)
+GROUP BY sn, cn, yr
+"""
+
+
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+Q8_NATION = "NATION_5"
+Q8_FROM, Q8_TO = "1996-01-01", "1998-01-01"
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (Q8): the target nation's share of revenue
+    for one part type sold to one region's customers, by order year —
+    conditional-sum ratio over a 7-relation star, every dim broadcast."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    rnation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(rnation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    snation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(snation), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_type") == Q8_TYPE
+    ).select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q8_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q8_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_c"),
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == Q8_NATION, F.col("rev_c"))
+                .otherwise(0)
+            ).alias("nat_c"),
+            F.sum("rev_c").alias("tot_c"),
+        )
+        .select(
+            F.col("o_year").cast("long").alias("o_year"),
+            F.round(F.col("nat_c") / F.col("tot_c"), 4).alias("mkt_share"),
+            F.round(F.col("tot_c") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+def tpch_q8_oracle() -> str:
+    return f"""
+SELECT CAST(yr AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN sn = '{Q8_NATION}' THEN rev_c ELSE 0 END)::DOUBLE
+             / SUM(rev_c), 4) AS mkt_share,
+       ROUND(SUM(rev_c) / 10000.0, 2) AS total_revenue
+FROM (
+  SELECT year(o_orderdate) AS yr, ns.n_name AS sn,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nr ON c_nationkey = nr.n_nationkey
+  JOIN region ON nr.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{Q8_FROM} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{Q8_TO} 00:00:00'
+)
+GROUP BY yr
+"""
+
+
+Q9_COLOR = "red"
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (Q9, adapted: this schema has no partsupp /
+    supplycost, so "profit" is the discounted revenue — the shape is the
+    LIKE-filtered part dim + supplier-nation rollup by order year)."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q9_COLOR)
+    ).select("p_partkey")
+    snation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), "n_name"
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(snation), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_c"),
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("rev_c").alias("s_rev"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_year").cast("long").alias("o_year"),
+            F.round(F.col("s_rev") / 10000.0, 2).alias("sum_profit"),
+        )
+    )
+
+
+def tpch_q9_oracle() -> str:
+    return f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{Q9_COLOR}%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+Q10_FROM, Q10_TO = "1996-01-01", "1996-04-01"
+Q10_TOPK = 20
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (Q10): lost revenue from 'R' lineitems per
+    customer in one quarter — fact-side filters push to the scans, the
+    customer/nation dims broadcast, deterministic top-20 by
+    (revenue DESC, c_custkey)."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q10_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_c"),
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("rev_c").alias("s_rev"))
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            # half-up in EXACT integer space: s_rev has scale 1e-4; a
+            # double ROUND(x/10000.0, 2) can land a hair below .xx5 and
+            # flip the last cent differently per engine
+            (F.floor((F.col("s_rev") + 50) / 100) / 100.0).alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOPK)
+    )
+
+
+def tpch_q10_oracle() -> str:
+    return f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100)
+         / 100.0 AS revenue,
+       ROUND(c_acctbal, 2) AS c_acctbal, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_FROM} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q10_TO} 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_TOPK}
+"""
+
+
+Q15_FROM, Q15_TO = "1996-01-01", "1996-04-01"
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (Q15): suppliers whose quarterly revenue equals the
+    global maximum — the scalar-max-join shape, exact in integer cents
+    (ties surface identically on both engines; no float max)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q15_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp"))
+    ).select(
+        "l_suppkey",
+        (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_c"),
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("rev_c").alias("total_c"))
+    top = rev.agg(F.max("total_c").alias("max_c"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), F.col("total_c") == F.col("max_c"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("total_c") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+def tpch_q15_oracle() -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q15_TO} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       ROUND(total_c / 10000.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_c = (SELECT MAX(total_c) FROM rev)
+"""
+
+
+Q19_BRANDS = ("Brand#11", "Brand#22", "Brand#33")
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (Q19): the three-disjunct join predicate —
+    each arm pairs a brand with its own quantity and size windows; the
+    part dim broadcasts and the OR-of-ANDs evaluates as the join's
+    residual filter."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_c"),
+    )
+    b1, b2, b3 = Q19_BRANDS
+    cond = (
+        ((F.col("p_brand") == b1) & F.col("qty").between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == b2) & F.col("qty").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == b3) & F.col("qty").between(20, 30)
+           & F.col("p_size").between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.round(F.sum("rev_c") / 10000.0, 2).alias("revenue"))
+    )
+
+
+def tpch_q19_oracle() -> str:
+    b1, b2, b3 = Q19_BRANDS
+    return f"""
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = '{b1}' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = '{b2}' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = '{b3}' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+
+
+Q20_COLOR = "blue"
+Q20_FROM, Q20_TO = "1996-01-01", "1997-01-01"
+Q20_MIN_QTY = 50
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-promotion suppliers (Q20, adapted: no partsupp/availqty in
+    this schema, so the inner threshold is shipped quantity) — the
+    nested-semi shape: suppliers left-semi-joined against the set who
+    shipped > Q20_MIN_QTY units of the color's parts in the year."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q20_COLOR)
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q20_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_TO).cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty"))
+    qualifying = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .where(F.col("total_qty") > Q20_MIN_QTY)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(
+            qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi"
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        )
+    )
+
+
+def tpch_q20_oracle() -> str:
+    return f"""
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(s_nationkey AS BIGINT) AS s_nationkey
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%{Q20_COLOR}%'
+    AND l_shipdate >= TIMESTAMP '{Q20_FROM} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q20_TO} 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q20_MIN_QTY}
+)
 """
