@@ -984,6 +984,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann.ann_ivf,
         "media_features": multimodal.media_features_q,
         "media_pixel_stats": multimodal.media_pixel_stats_q,
+        "media_resize": multimodal.media_resize_q,
+        "media_frame_sample": multimodal.media_frame_sample_q,
         "extract_tables_lattice": _q_extract_tables,
         "extract_tables_text": _q_extract_tables_text,
         "extract_tables_rowrects": _q_extract_tables_rowrects,
@@ -1169,6 +1171,8 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "ann_ivf": ann.ann_ivf_oracle(),
         "media_features": multimodal.media_features_oracle(),
         "media_pixel_stats": multimodal.media_pixel_stats_oracle(),
+        "media_resize": multimodal.media_resize_oracle(),
+        "media_frame_sample": multimodal.media_frame_sample_oracle(),
         # lattice cells: rows are bottom-to-top (ascending PDF y — faithful
         # to createTableRegion, table_extractor.go:254-276), so cell (i, j)
         # holds writer cell (r = 2 - i, c = j)

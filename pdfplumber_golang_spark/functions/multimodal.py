@@ -500,3 +500,178 @@ def render_pdf_pages(spark, sf_dir: str):
         F.col("variant").startswith("pdf_")
     ).select("url", "html")
     return pages.mapInPandas(render, PAGE_RENDER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame sampling (task brief: decode / feature-extract / resize /
+# frame-sample as vectorized stages over opaque binary columns)
+# ---------------------------------------------------------------------------
+
+THUMB_W, THUMB_H = 16, 12
+
+RESIZE_SCHEMA = (
+    "url string, thumb_w long, thumb_h long,"
+    " t_sum long, t_min long, t_max long"
+)
+
+
+def media_resize(media: DataFrame) -> DataFrame:
+    """Nearest-neighbor thumbnail resize over the binary media column:
+    one pruned (url, data) Arrow mapInPandas stage decodes each PNG for
+    real (inflate + unfilter), maps thumb pixel (x, y) to source pixel
+    (x*w // THUMB_W, y*h // THUMB_H), re-encodes the thumbnail through
+    encode_gray_png, and emits stats computed from a DECODE OF THE
+    RE-ENCODED bytes — so a green oracle row certifies
+    decode→resize→encode→decode end to end.  Non-PNG rows skip (their
+    entropy decode is the documented hook)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("url", "thumb_w", "thumb_h", "t_sum", "t_min", "t_max")}
+            for url, data in zip(pdf["url"], pdf["data"]):
+                raw = bytes(data)
+                if raw[:8] != _PNG_SIG:
+                    continue
+                w, h, _bpp, px = decode_png_pixels(raw)
+                thumb = bytes(
+                    px[(y * h // THUMB_H) * w + (x * w // THUMB_W)]
+                    for y in range(THUMB_H)
+                    for x in range(THUMB_W)
+                )
+                # round-trip through the real encoder before measuring
+                _tw, _th, _c, tpx = decode_png_pixels(
+                    encode_gray_png(THUMB_W, THUMB_H, thumb)
+                )
+                out["url"].append(url)
+                out["thumb_w"].append(_tw)
+                out["thumb_h"].append(_th)
+                out["t_sum"].append(sum(tpx))
+                out["t_min"].append(min(tpx))
+                out["t_max"].append(max(tpx))
+            yield pd.DataFrame(out)
+
+    return media.select("url", "data").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_resize(media_table(spark, sf_dir))
+
+
+def media_resize_oracle() -> str:
+    """Closed form: thumb pixel (x, y) = ((x*w//TW)*7 + (y*h//TH)) % 256
+    for the (x*7+y)%256 fixture — stated independently of any PNG code."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, {spec.SQL_URL} AS url,
+         1 + doc_id % {_W_MOD} AS w, 1 + doc_id % {_H_MOD} AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+xs AS (SELECT unnest(generate_series(0, {THUMB_W - 1})) AS x),
+ys AS (SELECT unnest(generate_series(0, {THUMB_H - 1})) AS y),
+px AS (
+  SELECT d.url, ((x * d.w // {THUMB_W}) * 7 + (y * d.h // {THUMB_H})) % 256 AS p
+  FROM d, xs, ys
+)
+SELECT url,
+       CAST({THUMB_W} AS BIGINT) AS thumb_w,
+       CAST({THUMB_H} AS BIGINT) AS thumb_h,
+       CAST(SUM(p) AS BIGINT) AS t_sum,
+       CAST(MIN(p) AS BIGINT) AS t_min,
+       CAST(MAX(p) AS BIGINT) AS t_max
+FROM px GROUP BY url
+"""
+
+
+VIDEO_MAGIC = b"FVID"
+FRAME_SAMPLE_K = 3
+_NF_MOD = 7  # n_frames = 2 + doc_id % _NF_MOD
+
+FRAME_SCHEMA = "url string, frame_idx long, width long, height long"
+
+
+def video_bytes(doc_id: int) -> bytes:
+    """Deterministic fake video container (real codecs need av libraries
+    absent from this container, as the task brief anticipates): magic +
+    u32 frame count + length-prefixed PNG frames.  Width is constant per
+    doc; height varies per frame (1 + (doc_id + i) % _H_MOD) so sampled
+    frames are distinguishable in closed form."""
+    w = 1 + doc_id % _W_MOD
+    n = 2 + doc_id % _NF_MOD
+    frames = []
+    for i in range(n):
+        f = png_bytes(w, 1 + (doc_id + i) % _H_MOD)
+        frames.append(struct.pack(">I", len(f)) + f)
+    return VIDEO_MAGIC + struct.pack(">I", n) + b"".join(frames)
+
+
+def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()),
+         T.StructField("data", T.BinaryType())]
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"url": pdf["url"],
+                 "data": [video_bytes(int(d)) for d in pdf["doc_id"]]}
+            )
+
+    return docs.select(
+        "doc_id", F.expr(spec.SQL_URL).alias("url")
+    ).mapInPandas(build, schema=schema)
+
+
+def media_frame_sample(video: DataFrame, k: int = FRAME_SAMPLE_K) -> DataFrame:
+    """Frame sampling over the opaque video column: walk the container
+    for real (length-prefixed frames), keep every k-th frame, and
+    header-parse each sampled frame with the real parse_image — one
+    pruned Arrow stage fanning out to multiple rows per doc (the batch
+    shape a real decoder UDF has)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {kk: [] for kk in ("url", "frame_idx", "width", "height")}
+            for url, data in zip(pdf["url"], pdf["data"]):
+                raw = bytes(data)
+                if raw[:4] != VIDEO_MAGIC:
+                    continue
+                (n,) = struct.unpack(">I", raw[4:8])
+                pos = 8
+                for i in range(n):
+                    (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+                    frame = raw[pos + 4 : pos + 4 + ln]
+                    pos += 4 + ln
+                    if i % k:
+                        continue
+                    _mt, w, h = parse_image(frame)
+                    out["url"].append(url)
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return video.select("url", "data").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_frame_sample(video_table(spark, sf_dir))
+
+
+def media_frame_sample_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {spec.SQL_URL} AS url,
+         1 + doc_id % {_W_MOD} AS w, 2 + doc_id % {_NF_MOD} AS n
+  FROM documents
+),
+f AS (
+  SELECT url, doc_id, w, unnest(generate_series(0, n - 1)) AS i FROM d
+)
+SELECT url, CAST(i AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width,
+       CAST(1 + (doc_id + i) % {_H_MOD} AS BIGINT) AS height
+FROM f WHERE i % {FRAME_SAMPLE_K} = 0
+"""

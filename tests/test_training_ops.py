@@ -297,3 +297,48 @@ def test_dedup_components_cluster_duplicates(spark):
         assert comp[d + dedup.DUP_OFFSET] <= d
     # different originals do not collapse into one mega-cluster
     assert out.component.nunique() > n * 0.8
+
+
+def test_media_resize_and_frame_sample_kernels():
+    """Pure-kernel checks for the r4 multimodal ops: nearest-neighbor
+    resize matches the closed form the oracle states, and the video
+    container walk samples exactly every k-th frame with real
+    header-parsed dims."""
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    # resize: decode fixture, resize, re-encode, decode — closed form
+    doc_id = 9  # PNG row (doc_id % 3 == 0)
+    w, h = 1 + doc_id % 64, 1 + doc_id % 48
+    _w, _h, _c, px = mm.decode_png_pixels(mm.png_bytes(w, h))
+    thumb = bytes(
+        px[(y * h // mm.THUMB_H) * w + (x * w // mm.THUMB_W)]
+        for y in range(mm.THUMB_H) for x in range(mm.THUMB_W)
+    )
+    tw, th, _, tpx = mm.decode_png_pixels(
+        mm.encode_gray_png(mm.THUMB_W, mm.THUMB_H, thumb)
+    )
+    assert (tw, th) == (mm.THUMB_W, mm.THUMB_H)
+    expect = [
+        ((x * w // mm.THUMB_W) * 7 + (y * h // mm.THUMB_H)) % 256
+        for y in range(mm.THUMB_H) for x in range(mm.THUMB_W)
+    ]
+    assert list(tpx) == expect
+
+    # video container: frame count, per-frame dims, k-sampling
+    raw = mm.video_bytes(doc_id)
+    assert raw[:4] == mm.VIDEO_MAGIC
+    import struct
+    (n,) = struct.unpack(">I", raw[4:8])
+    assert n == 2 + doc_id % 7
+    pos, seen = 8, []
+    for i in range(n):
+        (ln,) = struct.unpack(">I", raw[pos:pos + 4])
+        frame = raw[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+        mt, fw, fh = mm.parse_image(frame)
+        assert mt == "image/png"
+        assert fw == w and fh == 1 + (doc_id + i) % 48
+        seen.append(i)
+    assert pos == len(raw)
+    sampled = [i for i in seen if i % mm.FRAME_SAMPLE_K == 0]
+    assert sampled == [0, 3] if n >= 4 else [0]
