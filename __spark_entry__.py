@@ -972,6 +972,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_gopher": curation.gopher_quality,
         "curation_c4_line_dedup": curation.c4_line_dedup,
         "curation_domain_cap": curation.domain_cap,
+        "curation_domain_cap_salted": curation.domain_cap_salted,
         "curation_url_canonicalize": curation.url_canonicalize,
         "curation_web_pipeline": curation.web_pipeline,
         "crawl_host_windows": curation.crawl_host_windows_q,
@@ -1026,6 +1027,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": tpch.tpch_q15,
         "tpch_q19": tpch.tpch_q19,
         "tpch_q20": tpch.tpch_q20,
+        "tpch_q2": tpch.tpch_q2,
+        "tpch_q11": tpch.tpch_q11,
+        "tpch_q12": tpch.tpch_q12,
+        "tpch_q16": tpch.tpch_q16,
     }
 
 
@@ -1159,6 +1164,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "curation_gopher": curation.gopher_quality_oracle(),
         "curation_c4_line_dedup": curation.c4_line_dedup_oracle(),
         "curation_domain_cap": curation.domain_cap_oracle(),
+        "curation_domain_cap_salted": curation.domain_cap_salted_oracle(),
         "curation_url_canonicalize": curation.url_canonicalize_oracle(),
         "curation_web_pipeline": curation.web_pipeline_oracle(),
         "crawl_host_windows": curation.crawl_host_windows_oracle(),
@@ -1234,6 +1240,10 @@ FROM allc
         "tpch_q15": tpch.tpch_q15_oracle(),
         "tpch_q19": tpch.tpch_q19_oracle(),
         "tpch_q20": tpch.tpch_q20_oracle(),
+        "tpch_q2": tpch.tpch_q2_oracle(),
+        "tpch_q11": tpch.tpch_q11_oracle(),
+        "tpch_q12": tpch.tpch_q12_oracle(),
+        "tpch_q16": tpch.tpch_q16_oracle(),
         "event_sessionize_stateful": """
 WITH ev AS (
   SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s

@@ -237,11 +237,10 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable ``groupBy(host).count()`` broadcast-joined back (one row
     per host — at crawl scale a mega-host contributes ONE partial count
     per input partition instead of funneling every row through one
-    count-over-window task).  Only the rank itself still needs the
-    per-host sort window; at 100 TB that residual hot task is bounded by
-    a salted top-(DOMAIN_CAP) pre-filter per salt bucket — the cap keeps
-    at most DOMAIN_CAP rows, so pre-truncating each salt bucket to
-    DOMAIN_CAP candidates before the final rank is semantics-preserving."""
+    count-over-window task).  The rank itself needs the per-host sort
+    window BECAUSE this diagnostic variant emits every doc's full rank;
+    the production form that only needs the kept rows is
+    ``domain_cap_salted`` below, where the mega-host sort is bounded."""
     d = _docs(spark, sf_dir).select(F.expr(spec.SQL_URL).alias("url"))
     host = F.expr("split_part(url, '/', 3)")
     docs = d.select("url", host.alias("host"))
@@ -267,6 +266,61 @@ SELECT url, split_part(url, '/', 3) AS host,
        ROW_NUMBER() OVER (PARTITION BY split_part(url, '/', 3)
                           ORDER BY url) <= {DOMAIN_CAP} AS kept
 FROM d
+"""
+
+
+DOMAIN_SALTS = 8
+
+
+def domain_cap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production domain cap at crawl scale: emit ONLY the kept rows
+    (host_rank <= DOMAIN_CAP).
+
+    The per-host sort is salted so no single task ever sorts a
+    mega-host's full crawl: docs spread across (host, salt) buckets by
+    url hash; each bucket pre-truncates to its own top-DOMAIN_CAP by
+    url; only those <= DOMAIN_CAP * DOMAIN_SALTS survivors per host
+    reach the final rank window.  Semantics-preserving because the
+    global top-CAP by url is always a subset of the union of per-bucket
+    top-CAPs (any globally-kept doc is within the top-CAP of its own
+    bucket).  The full-corpus host counts still come from the combinable
+    two-phase groupBy, not a window."""
+    d = _docs(spark, sf_dir).select(F.expr(spec.SQL_URL).alias("url"))
+    docs = d.select("url", F.expr("split_part(url, '/', 3)").alias("host"))
+    counts = docs.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_host_docs")
+    )
+    salted = docs.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(DOMAIN_SALTS))
+    )
+    wsalt = Window.partitionBy("host", "salt").orderBy("url")
+    pre = (
+        salted.withColumn("srk", F.row_number().over(wsalt))
+        .where(F.col("srk") <= DOMAIN_CAP)
+        .drop("srk", "salt")
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        pre.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("host_rank") <= DOMAIN_CAP)
+        .join(F.broadcast(counts), "host")
+        .select("url", "host", "host_rank", "n_host_docs")
+    )
+
+
+def domain_cap_salted_oracle() -> str:
+    return f"""
+WITH d AS (SELECT {spec.SQL_URL} AS url FROM documents),
+ranked AS (
+  SELECT url, split_part(url, '/', 3) AS host,
+         CAST(ROW_NUMBER() OVER (PARTITION BY split_part(url, '/', 3)
+                                 ORDER BY url) AS BIGINT) AS host_rank,
+         CAST(COUNT(*) OVER (PARTITION BY split_part(url, '/', 3)) AS BIGINT)
+           AS n_host_docs
+  FROM d
+)
+SELECT url, host, host_rank, n_host_docs
+FROM ranked WHERE host_rank <= {DOMAIN_CAP}
 """
 
 

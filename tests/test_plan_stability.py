@@ -119,6 +119,34 @@ def test_tpch_dimension_joins_are_broadcast(spark):
     assert "Join" not in q1 and "partial" in q1.lower(), q1
 
 
+def test_tpch_derived_relation_shapes(spark):
+    """Q2/Q11/Q16 ride the derived partsupp (part x broadcast-supplier,
+    a sanctioned tiny-build non-equi generator); their own query shapes
+    must stay hash/broadcast joins: Q2's per-part min joins back
+    broadcast, Q16 plans a LeftAnti for the supplier blacklist, Q12's
+    derived-date filter keeps one shuffled equi-join on the order key."""
+    q2 = _executed_plan(E.queries()["tpch_q2"](spark, SF_DIR))
+    assert "CartesianProduct" not in q2, q2
+    assert "BroadcastHashJoin" in q2, q2
+    q16 = _executed_plan(E.queries()["tpch_q16"](spark, SF_DIR))
+    assert "LeftAnti" in q16, q16
+    assert "CartesianProduct" not in q16, q16
+    q12 = _executed_plan(E.queries()["tpch_q12"](spark, SF_DIR))
+    assert "CartesianProduct" not in q12, q12
+    assert "partial" in q12.lower(), q12
+
+
+def test_domain_cap_salted_bounded_sort(spark):
+    """The production cap variant must salt the per-host sort: two rank
+    windows (per-(host, salt) pre-truncation + final over survivors),
+    the salt from xxhash64(url), and the host counts still two-phase."""
+    plan = _executed_plan(E.queries()["curation_domain_cap_salted"](spark, SF_DIR))
+    assert plan.count("windowspecdefinition") == 2, plan
+    assert "xxhash64" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_shard_packing_two_phase_cumsum_no_global_sort(spark):
     """VERDICT r3 #1: the shard cumsum must never be a global orderBy
     window (single-task total sort).  Freeze the two-phase shape: the big
