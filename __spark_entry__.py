@@ -202,6 +202,36 @@ def _q_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema="h string")
 
 
+def _q_event_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the oracle gate: the events
+    table replayed as a file stream on BOTH sides (clicks, views), each
+    watermarked; a click attributes the same user's views from the
+    preceding 6 hours.  The watermark horizon covers the replay span, so
+    the drained result must equal the batch inner join the oracle
+    states — row-exact, both join keys and the interval bound."""
+    import shutil
+    import tempfile
+
+    from pdfplumber_golang_spark.streaming.join import stream_interval_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    root = tempfile.mkdtemp(prefix="sjoin_q_")
+    try:
+        in_dir = os.path.join(root, "in")
+        ev.repartition(8).write.parquet(in_dir)
+        q = stream_interval_join(
+            spark, in_dir, os.path.join(root, "out"), os.path.join(root, "ckpt")
+        )
+        q.awaitTermination(600)
+        out = spark.read.schema(
+            "click_id long, view_id long, user_id long"
+        ).parquet(os.path.join(root, "out"))
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema="click_id long, view_id long, user_id long")
+
+
 def _q_extract_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming extraction under the hash gate: the pages
     table written as many parquet files, drained by streaming/ingest.
@@ -941,6 +971,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_incremental": _q_extract_incremental,
         "extract_text_streamed": _q_extract_streamed,
         "dedup_streamed": _q_dedup_streamed,
+        "event_stream_join": _q_event_stream_join,
         "extract_text_ckpt_resume": _q_extract_ckpt_resume,
         "extract_text_pdf": _q_extract_pdf,
         "pdf_page_counts": _q_page_counts,
@@ -973,6 +1004,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_c4_line_dedup": curation.c4_line_dedup,
         "curation_domain_cap": curation.domain_cap,
         "curation_domain_cap_salted": curation.domain_cap_salted,
+        "curation_pii_scrub": curation.pii_scrub,
+        "curation_gopher_repetition": curation.gopher_repetition,
         "curation_url_canonicalize": curation.url_canonicalize,
         "curation_web_pipeline": curation.web_pipeline,
         "crawl_host_windows": curation.crawl_host_windows_q,
@@ -1048,6 +1081,15 @@ def oracle_sql() -> dict[str, str]:
             + spec.pdf_golden_duckdb_sql(spec.SQL_IS_PDF)
         ),
         "dedup_streamed": "SELECT DISTINCT md5(text) AS h FROM documents",
+        "event_stream_join": """
+SELECT CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(v.event_id AS BIGINT) AS view_id,
+       CAST(c.user_id AS BIGINT) AS user_id
+FROM events c JOIN events v
+  ON c.event_type = 'click' AND v.event_type = 'view'
+ AND c.user_id = v.user_id
+ AND v.ts >= c.ts - INTERVAL 6 HOUR AND v.ts <= c.ts
+""",
         "extract_text_checkpointed": (
             spec.html_golden_duckdb_sql(spec.SQL_IS_HTML)
             + " UNION ALL "
@@ -1165,6 +1207,8 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "curation_c4_line_dedup": curation.c4_line_dedup_oracle(),
         "curation_domain_cap": curation.domain_cap_oracle(),
         "curation_domain_cap_salted": curation.domain_cap_salted_oracle(),
+        "curation_pii_scrub": curation.pii_scrub_oracle(),
+        "curation_gopher_repetition": curation.gopher_repetition_oracle(),
         "curation_url_canonicalize": curation.url_canonicalize_oracle(),
         "curation_web_pipeline": curation.web_pipeline_oracle(),
         "crawl_host_windows": curation.crawl_host_windows_oracle(),

@@ -641,3 +641,161 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
                   / {SHARD_TOKENS}) AS BIGINT) AS shard_id
 FROM documents
 """
+
+
+# ------------------------------------------------------------------- pii ---
+
+PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]+"
+PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction stage of a training-data pipeline:
+    emails, phone numbers, and IPv4 addresses replaced with typed
+    placeholder tokens, all as JVM regexp expressions (no Python in the
+    hot path, trivially map-side at any scale).
+
+    The corpus text is synthetic and clean, so the fixture derives
+    deterministic PII spans from doc_id (appended email / phone / IP for
+    doc_id % 4 == 0/1/2, untouched for 3) — the oracle restates the same
+    injection and the same regexes, so both engines must find the same
+    matches AND produce byte-identical scrubbed text (checked via md5).
+    Scrub order: emails, then phones, then IPs (each placeholder is
+    inert under the later patterns)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    injected = F.expr(
+        "CASE CAST(doc_id % 4 AS INT)"
+        " WHEN 0 THEN text || ' contact user' || CAST(doc_id AS STRING)"
+        "   || '@example.com now'"
+        " WHEN 1 THEN text || ' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
+        "   || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' today'"
+        " WHEN 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS STRING)"
+        "   || '.0.' || CAST((doc_id * 7) % 256 AS STRING) || ' logged'"
+        " ELSE text END"
+    )
+    raw = d.select("doc_id", injected.alias("t"))
+    n = lambda pat: F.size(F.expr(f"regexp_extract_all(t, '{pat}', 0)"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>",
+        ),
+        PII_IP, "<IP>",
+    )
+    return raw.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n(PII_EMAIL).cast("long").alias("n_emails"),
+        n(PII_PHONE).cast("long").alias("n_phones"),
+        # IP count on the phone-scrubbed text: raw phone digits would
+        # otherwise partially match the IPv4 pattern on one engine or the
+        # other depending on leftmost-match tie-breaks — count what the
+        # scrubber actually sees
+        F.size(F.expr(
+            f"regexp_extract_all(regexp_replace(regexp_replace(t, '{PII_EMAIL}',"
+            f" '<EMAIL>'), '{PII_PHONE}', '<PHONE>'), '{PII_IP}', 0)"
+        )).cast("long").alias("n_ips"),
+        F.md5(clean).alias("clean_fp"),
+    )
+
+
+def pii_scrub_oracle() -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN text || ' contact user' || CAST(doc_id AS STRING)
+            || '@example.com now'
+          WHEN 1 THEN text || ' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')
+            || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' today'
+          WHEN 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS STRING)
+            || '.0.' || CAST((doc_id * 7) % 256 AS STRING) || ' logged'
+          ELSE text END AS t
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(
+         regexp_replace(regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{PII_PHONE}', '<PHONE>', 'g'),
+         '{PII_IP}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g'),
+             '{PII_IP}', '<IP>', 'g')) AS clean_fp
+FROM raw
+"""
+
+
+# ------------------------------------------------------------ repetition ---
+
+REP_MAX_DUP_WORD_FRAC = 0.35
+REP_MAX_TOP_WORD_FRAC = 0.12
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher A1.1 repetition
+    filters that complement gopher_quality's length/stopword rules):
+    duplicate-word fraction (1 - distinct/total, a pure array expression)
+    and top-word fraction (count of the most frequent word / total, one
+    map-side-combinable explode + two-level groupBy).  Docs over either
+    threshold are flagged for removal."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    base = d.select(
+        "doc_id", words.alias("w"), n.alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    top = (
+        base.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    out = base.join(top, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(
+            1.0 - F.col("n_distinct") / F.col("n_words"), 4
+        ).alias("dup_word_frac"),
+        F.round(F.col("top_c") / F.col("n_words"), 4).alias("top_word_frac"),
+    )
+    keep = (
+        (F.col("dup_word_frac") <= REP_MAX_DUP_WORD_FRAC)
+        & (F.col("top_word_frac") <= REP_MAX_TOP_WORD_FRAC)
+    )
+    return out.withColumn("keep", keep)
+
+
+def gopher_repetition_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+base AS (
+  SELECT doc_id, n_words,
+         len(list_distinct(w)) AS n_distinct
+  FROM d
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, word, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest(w) AS word FROM d
+    ) GROUP BY doc_id, word
+  ) GROUP BY doc_id
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       ROUND(1.0 - b.n_distinct::DOUBLE / b.n_words, 4) AS dup_word_frac,
+       ROUND(t.top_c::DOUBLE / b.n_words, 4) AS top_word_frac,
+       (ROUND(1.0 - b.n_distinct::DOUBLE / b.n_words, 4)
+          <= {REP_MAX_DUP_WORD_FRAC}
+        AND ROUND(t.top_c::DOUBLE / b.n_words, 4)
+          <= {REP_MAX_TOP_WORD_FRAC}) AS keep
+FROM base b JOIN top t ON t.doc_id = b.doc_id
+"""

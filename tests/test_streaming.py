@@ -158,3 +158,40 @@ def test_stream_dedup_matches_batch_first_occurrence(spark, tmp_path):
     gh = {r.h for r in got.select("h").collect()}
     wh = {r.h for r in want.select("h").collect()}
     assert gh == wh
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream click→view interval join (streaming/join.py): with
+    the watermark horizon covering the replay span, the drained result
+    must equal the batch inner join row-for-row."""
+    from pdfplumber_golang_spark.streaming.join import (
+        JOIN_INTERVAL, stream_interval_join,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "in")
+    ev.repartition(8).write.parquet(in_dir)
+    q = stream_interval_join(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    got = spark.read.schema(
+        "click_id long, view_id long, user_id long"
+    ).parquet(str(tmp_path / "out"))
+    c = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    v = ev.where("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    want = c.join(
+        v,
+        (F.col("cu") == F.col("vu"))
+        & (F.col("vts") >= F.expr(f"cts - interval {JOIN_INTERVAL}"))
+        & (F.col("vts") <= F.col("cts")),
+    ).select("click_id", "view_id", F.col("cu").alias("user_id"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
