@@ -1000,6 +1000,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_analysis.fingerprint,
         "text_fingerprint_rolling": text_analysis.fingerprint_rolling,
         "corpus_curation": text_analysis.corpus_curation,
+        "text_fluency": text_analysis.text_fluency,
         "curation_gopher": curation.gopher_quality,
         "curation_c4_line_dedup": curation.c4_line_dedup,
         "curation_domain_cap": curation.domain_cap,
@@ -1203,6 +1204,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "text_fingerprint": text_analysis.fingerprint_oracle(),
         "text_fingerprint_rolling": text_analysis.fingerprint_rolling_oracle(),
         "corpus_curation": text_analysis.corpus_curation_oracle(),
+        "text_fluency": text_analysis.text_fluency_oracle(),
         "curation_gopher": curation.gopher_quality_oracle(),
         "curation_c4_line_dedup": curation.c4_line_dedup_oracle(),
         "curation_domain_cap": curation.domain_cap_oracle(),

@@ -105,6 +105,13 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "text_langid",
         "ann_bruteforce",
+        # relational + curation headliners (added r4): the scan-agg, the
+        # 6-way broadcast star, the two-phase cumsum, and the JVM-side
+        # PII scrubber — the non-extraction shapes a corpus run exercises
+        "tpch_q1",
+        "tpch_q5",
+        "shard_packing",
+        "curation_pii_scrub",
     ):
         timed(name, lambda: qs[name](spark, SF_DIR).count())
 

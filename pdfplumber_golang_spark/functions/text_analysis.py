@@ -388,3 +388,84 @@ FROM scored
 WHERE quality >= {QUALITY_THRESHOLD}
 GROUP BY pred_lang, ROUND(quality, 1)
 """
+
+
+# ------------------------------------------------------------- fluency ----
+
+def text_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency fluency scoring — the integer-exact stand-in for
+    an n-gram LM perplexity pass (real log-prob sums are float
+    addition-order-dependent and not bit-stable cross-engine, so the
+    score here is the mean CORPUS frequency of the doc's word bigrams:
+    fluent text reuses common constructions, gibberish doesn't).
+
+    Shape is exactly a batch KenLM scorer's: (1) the "model" = global
+    bigram counts, one map-side-combinable groupBy; (2) scoring = the
+    doc's bigrams equi-joined to the model keyed by n-gram (the model
+    side is NOT broadcast — at web scale the n-gram table is itself
+    huge), then a per-doc combinable mean."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    bigram_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = d.select("doc_id", F.explode(bigram_arr).alias("bigram"))
+    model = bigrams.groupBy("bigram").agg(F.count("*").alias("freq"))
+    scored = (
+        bigrams.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("freq").alias("sum_freq"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_freq", F.lit(0)).cast("long").alias("sum_freq"),
+            F.round(
+                F.coalesce("sum_freq", F.lit(0))
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("mean_freq"),
+        )
+    )
+
+
+def text_fluency_oracle() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, n_words - 1)) AS i
+        FROM d WHERE n_words >= 2)
+),
+model AS (SELECT bigram, COUNT(*) AS freq FROM bi GROUP BY bigram),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(freq) AS sum_freq
+  FROM bi JOIN model USING (bigram) GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.sum_freq, 0) AS BIGINT) AS sum_freq,
+       ROUND(COALESCE(s.sum_freq, 0)::DOUBLE
+             / GREATEST(COALESCE(s.n_bigrams, 0), 1), 4) AS mean_freq
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
