@@ -157,6 +157,42 @@ def _q_extract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
+def _q_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full snapshot-table lifecycle under one oracle row: write half
+    the corpus as v1, append the rest (v2), COMPACT the layout (v3 — a
+    replace snapshot; row set must be unchanged), then an add-column
+    schema-evolution append (v4) of late rows carrying only (doc_id,
+    tag) — the evolved reader must fill the old rows' new column and the
+    new rows' old columns with NULL.  The final read's (doc_id, tag)
+    pairs are stated closed-form by the oracle."""
+    import shutil
+    import tempfile
+
+    from pdfplumber_golang_spark.sources import snapshots as S
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="snap_life_")
+    try:
+        t = os.path.join(root, "tbl")
+        S.write_snapshot(docs.where(F.col("doc_id") % 2 == 0), t)
+        S.append_snapshot(docs.where(F.col("doc_id") % 2 == 1), t)
+        S.compact(spark, t, target_files=4)
+        late = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.lit("late").alias("tag"),
+        )
+        S.append_snapshot_evolving(late, t)
+        out = S.read_snapshot(spark, t).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "tag"
+        )
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema="doc_id long, tag string")
+
+
 def _q_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming exact dedup under the oracle gate (VERDICT r3
     #7): the documents table replayed as a file stream — event times 13 s
@@ -970,6 +1006,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_checkpointed": _q_extract_checkpointed,
         "extract_text_incremental": _q_extract_incremental,
         "extract_text_streamed": _q_extract_streamed,
+        "snapshot_lifecycle": _q_snapshot_lifecycle,
         "dedup_streamed": _q_dedup_streamed,
         "event_stream_join": _q_event_stream_join,
         "extract_text_ckpt_resume": _q_extract_ckpt_resume,
@@ -1081,6 +1118,13 @@ def oracle_sql() -> dict[str, str]:
             + " UNION ALL "
             + spec.pdf_golden_duckdb_sql(spec.SQL_IS_PDF)
         ),
+        "snapshot_lifecycle": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS tag
+FROM documents
+UNION ALL
+SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, 'late' AS tag
+FROM documents WHERE doc_id % 10 = 0
+""",
         "dedup_streamed": "SELECT DISTINCT md5(text) AS h FROM documents",
         "event_stream_join": """
 SELECT CAST(c.event_id AS BIGINT) AS click_id,

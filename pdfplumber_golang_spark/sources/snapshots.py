@@ -219,3 +219,74 @@ def read_incremental(
         if snap["added_files"]:
             added.extend(snap["files"][-snap["added_files"]:])
     return _read_files(spark, table_dir, added, m["schema"])
+
+
+def compact(spark: SparkSession, table_dir: str, target_files: int = 8) -> int:
+    """Small-file compaction — the Iceberg ``rewrite_data_files``
+    maintenance action: read the current snapshot, rewrite the same rows
+    into ``target_files`` right-sized files, commit as a new REPLACE
+    snapshot.  Row set is unchanged (readers see identical data before
+    and after); prior snapshots still time-travel to the original file
+    layout; incremental reads refuse to cross the boundary exactly like
+    an overwrite (a compaction rewrites history's layout, not a data
+    change, so the changelog is undefined across it)."""
+    parent = current_version(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshot in {table_dir}")
+    prior = read_manifest(table_dir, parent)
+    df = read_snapshot(spark, table_dir).repartition(target_files)
+    tag = uuid.uuid4().hex[:12]
+    files = _write_files(df, table_dir, tag)
+    return _commit(
+        table_dir, files, prior["schema"], parent, "replace", len(files)
+    )
+
+
+def append_snapshot_evolving(df: DataFrame, table_dir: str) -> int:
+    """Append with add-column schema evolution (Iceberg's only
+    always-safe evolution): columns present in df but not in the table
+    schema are added to the manifest schema; prior data files simply
+    lack them and read back as NULL (the parquet reader fills missing
+    columns when given the table schema).  Dropping or retyping columns
+    is NOT supported — that needs Iceberg's field-id machinery."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    parent = current_version(table_dir)
+    if parent is None:
+        return write_snapshot(df, table_dir)
+    prior = read_manifest(table_dir, parent)
+    old_schema = T.StructType.fromJson(_json.loads(prior["schema"]))
+    old_names = {f.name for f in old_schema.fields}
+    new_fields = [f for f in df.schema.fields if f.name not in old_names]
+    for f in df.schema.fields:
+        if f.name in old_names:
+            old_type = next(
+                o.dataType for o in old_schema.fields if o.name == f.name
+            )
+            if old_type != f.dataType:
+                raise ValueError(
+                    f"column retype not supported: {f.name}: "
+                    f"{old_type} -> {f.dataType}"
+                )
+    evolved = T.StructType(list(old_schema.fields) + new_fields)
+    # write the new batch with the FULL evolved schema (old columns that
+    # df lacks become null columns) so every file is readable under it
+    from pyspark.sql import functions as F
+
+    out = df
+    for f in evolved.fields:
+        if f.name not in df.columns:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+    out = out.select(*[f.name for f in evolved.fields])
+    tag = uuid.uuid4().hex[:12]
+    new_files = _write_files(out, table_dir, tag)
+    return _commit(
+        table_dir,
+        prior["files"] + new_files,
+        evolved.json(),
+        parent,
+        "append",
+        len(new_files),
+    )

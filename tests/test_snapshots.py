@@ -121,3 +121,44 @@ def test_concurrent_commit_loser_fails_not_overwrites(spark, tdir):
     assert S.current_version(tdir) == 2
     m = S.read_manifest(tdir, 2)
     assert m["added_files"] == len(files_a)
+
+
+def test_compaction_preserves_rows_and_history(spark, tdir):
+    """compact() rewrites the layout, not the data: same row set after,
+    fewer files, old versions still time-travel, incremental reads
+    refuse to cross the replace boundary."""
+    pages = load_or_build_pages(spark, SF_DIR).select("url", "html")
+    S.write_snapshot(pages.repartition(16), tdir)
+    v1_files = len(S.read_manifest(tdir, 1)["files"])
+    before = {r.url for r in S.read_snapshot(spark, tdir).select("url").collect()}
+    v2 = S.compact(spark, tdir, target_files=2)
+    assert v2 == 2
+    m = S.read_manifest(tdir, v2)
+    assert m["operation"] == "replace"
+    assert len(m["files"]) <= 2 < v1_files
+    after = {r.url for r in S.read_snapshot(spark, tdir).select("url").collect()}
+    assert after == before
+    # old layout still time-travels
+    assert len(S.read_manifest(tdir, 1)["files"]) == v1_files
+    with pytest.raises(ValueError, match="replace"):
+        S.read_incremental(spark, tdir, since_version=1)
+
+
+def test_schema_evolution_add_column(spark, tdir):
+    """append_snapshot_evolving: new columns join the table schema; rows
+    from pre-evolution files read back as NULL for them."""
+    from pyspark.sql import functions as F
+
+    pages = load_or_build_pages(spark, SF_DIR).select("url", "html").limit(10)
+    S.write_snapshot(pages, tdir)
+    evolved = pages.limit(4).withColumn("lang", F.lit("en"))
+    v2 = S.append_snapshot_evolving(evolved, tdir)
+    assert v2 == 2
+    cur = S.read_snapshot(spark, tdir)
+    assert "lang" in cur.columns
+    assert cur.count() == 14
+    assert cur.where(F.col("lang").isNull()).count() == 10
+    assert cur.where(F.col("lang") == "en").count() == 4
+    # incremental read across the evolving append sees only the new rows
+    inc = S.read_incremental(spark, tdir, since_version=1)
+    assert inc.count() == 4
