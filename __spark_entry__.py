@@ -238,6 +238,37 @@ def _q_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema="h string")
 
 
+def _q_event_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under the oracle gate: the events stream
+    joined per-micro-batch against the broadcast static user dimension
+    (customer -> segment).  Stateless (no watermark); the drained result
+    must equal the batch inner join the oracle states."""
+    import shutil
+    import tempfile
+
+    from pdfplumber_golang_spark.streaming.enrich import stream_enrich, user_dim
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    root = tempfile.mkdtemp(prefix="senrich_q_")
+    try:
+        in_dir = os.path.join(root, "in")
+        ev.repartition(8).write.parquet(in_dir)
+        q = stream_enrich(
+            spark, in_dir, user_dim(spark, sf_dir),
+            os.path.join(root, "out"), os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination(600)
+        out = spark.read.schema(
+            "event_id long, user_id long, event_type string, segment string"
+        ).parquet(os.path.join(root, "out"))
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, schema="event_id long, user_id long, event_type string, segment string"
+    )
+
+
 def _q_event_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join under the oracle gate: the events
     table replayed as a file stream on BOTH sides (clicks, views), each
@@ -1009,6 +1040,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_lifecycle": _q_snapshot_lifecycle,
         "dedup_streamed": _q_dedup_streamed,
         "event_stream_join": _q_event_stream_join,
+        "event_stream_enrich": _q_event_stream_enrich,
         "extract_text_ckpt_resume": _q_extract_ckpt_resume,
         "extract_text_pdf": _q_extract_pdf,
         "pdf_page_counts": _q_page_counts,
@@ -1134,6 +1166,12 @@ FROM events c JOIN events v
   ON c.event_type = 'click' AND v.event_type = 'view'
  AND c.user_id = v.user_id
  AND v.ts >= c.ts - INTERVAL 6 HOUR AND v.ts <= c.ts
+""",
+        "event_stream_enrich": """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       e.event_type, c.c_mktsegment AS segment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """,
         "extract_text_checkpointed": (
             spec.html_golden_duckdb_sql(spec.SQL_IS_HTML)

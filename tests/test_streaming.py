@@ -195,3 +195,27 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_enrich_matches_batch(spark, tmp_path):
+    """Stream-static enrichment (streaming/enrich.py): every drained row
+    equals the batch broadcast join of events x user dimension."""
+    from pdfplumber_golang_spark.streaming.enrich import stream_enrich, user_dim
+
+    SF = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    in_dir = str(tmp_path / "in")
+    ev.repartition(8).write.parquet(in_dir)
+    dim = user_dim(spark, SF)
+    q = stream_enrich(
+        spark, in_dir, dim, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    got = spark.read.schema(
+        "event_id long, user_id long, event_type string, segment string"
+    ).parquet(str(tmp_path / "out"))
+    want = ev.select("event_id", "user_id", "event_type").join(
+        dim, "user_id"
+    ).select("event_id", "user_id", "event_type", "segment")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
