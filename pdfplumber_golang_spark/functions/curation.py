@@ -799,3 +799,76 @@ SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
           <= {REP_MAX_TOP_WORD_FRAC}) AS keep
 FROM base b JOIN top t ON t.doc_id = b.doc_id
 """
+
+
+# ---------------------------------------------------------------- scorecard --
+
+FLUENT_MIN_MEAN_FREQ = 30.0
+
+
+def curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-doc curation scorecard: every document-level
+    signal the pipeline computes — Gopher quality, repetition, PII
+    exposure, fluency, mixture coin — joined on the doc key into one
+    keep/reject decision.
+
+    This is the production shape for signal composition: each signal is
+    computed by its own operator (at corpus scale they materialize as
+    separate columns/stages), then the scorecard is a key-join of narrow
+    (doc_id, flag) relations — every branch map-side combinable, every
+    join on the same key.  The final ``keep`` requires all five gates."""
+    from .text_analysis import text_fluency
+
+    g = gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_ok")
+    )
+    r = gopher_repetition(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_ok")
+    )
+    p = pii_scrub(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) == 0)
+        .alias("pii_clean"),
+    )
+    f = text_fluency(spark, sf_dir).select(
+        "doc_id",
+        (F.col("mean_freq") >= FLUENT_MIN_MEAN_FREQ).alias("fluent"),
+    )
+    m = mixture_sample(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("mix_ok")
+    )
+    return (
+        g.join(r, "doc_id").join(p, "doc_id").join(f, "doc_id")
+        .join(m, "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "gopher_ok", "rep_ok", "pii_clean", "fluent", "mix_ok",
+            (F.col("gopher_ok") & F.col("rep_ok") & F.col("pii_clean")
+             & F.col("fluent") & F.col("mix_ok")).alias("keep"),
+        )
+    )
+
+
+def curation_scorecard_oracle() -> str:
+    from .text_analysis import text_fluency_oracle
+
+    return f"""
+WITH g AS ({gopher_quality_oracle().strip()}),
+r AS ({gopher_repetition_oracle().strip()}),
+p AS ({pii_scrub_oracle().strip()}),
+f AS ({text_fluency_oracle().strip()}),
+m AS ({mixture_sample_oracle().strip()})
+SELECT g.doc_id,
+       g.keep AS gopher_ok,
+       r.keep AS rep_ok,
+       (p.n_emails + p.n_phones + p.n_ips) = 0 AS pii_clean,
+       f.mean_freq >= {FLUENT_MIN_MEAN_FREQ} AS fluent,
+       m.kept AS mix_ok,
+       (g.keep AND r.keep AND (p.n_emails + p.n_phones + p.n_ips) = 0
+        AND f.mean_freq >= {FLUENT_MIN_MEAN_FREQ} AND m.kept) AS keep
+FROM g
+JOIN r ON r.doc_id = g.doc_id
+JOIN p ON p.doc_id = g.doc_id
+JOIN f ON f.doc_id = g.doc_id
+JOIN m ON m.doc_id = g.doc_id
+"""
