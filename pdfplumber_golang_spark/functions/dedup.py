@@ -438,7 +438,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard alternating min-label/small-star shape: edges carry two
     longs, labels one long — no payload ever shuffles."""
     c = dup_corpus(spark, sf_dir).select("doc_id")
-    pairs = minhash_lsh_candidates(spark, sf_dir)
+    # persist the candidate pairs BEFORE the union: both undirected
+    # branches reference the same (expensive) MinHash-LSH subtree, and
+    # without the persist each branch recomputes the full shingle ->
+    # signature -> band-join pipeline
+    pairs = cache.persist(minhash_lsh_candidates(spark, sf_dir))
     # undirected neighbor list (both directions) as control rows
     edges = cache.persist(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
