@@ -1061,6 +1061,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_jaccard_verified": dedup.jaccard_verified,
         "dedup_components": dedup.dedup_components,
+        "dedup_canonical": dedup.dedup_canonical,
+        "dedup_substring": dedup.substring_pairs,
         "dedup_incremental": dedup.dedup_incremental,
         "text_langid": text_analysis.lang_id,
         "text_langid_trigram": text_analysis.lang_id_trigram,
@@ -1279,6 +1281,8 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
         "dedup_jaccard_verified": dedup.jaccard_verified_oracle(),
         "dedup_components": dedup.dedup_components_oracle(),
+        "dedup_canonical": dedup.dedup_canonical_oracle(),
+        "dedup_substring": dedup.substring_pairs_oracle(),
         "dedup_incremental": dedup.dedup_incremental_oracle(),
         "text_langid": text_analysis.lang_id_oracle(),
         "text_langid_trigram": text_analysis.lang_id_trigram_oracle(),

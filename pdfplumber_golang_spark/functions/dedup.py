@@ -597,3 +597,104 @@ SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS existing_doc,
 FROM bands a JOIN bands b USING (band_id, band_key)
 WHERE a.doc_id < b.doc_id AND b.doc_id >= {DUP_OFFSET}
 """
+
+
+# --------------------------------------------------- exact substring dedup --
+
+SUBSTR_K = 40  # chars: docs sharing any 40-char run are duplicate pairs
+
+
+def substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup — the distributed equi-join formulation of
+    the suffix-array method (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): two docs are duplicates when
+    they share ANY SUBSTR_K-character substring.
+
+    Every doc explodes to its DISTINCT md5'd char k-grams (one JVM
+    transform over a stride-1 position sequence, so the criterion is
+    exact, not sampled); a document-frequency cap drops boilerplate runs
+    exactly as the word-shingle path does; the pair set is the k-gram
+    equi-join with a < b.  Fixed-width digests keep the shuffle rows
+    narrow — the text itself never shuffles."""
+    c = dup_corpus(spark, sf_dir)
+    gram_arr = F.when(
+        F.length("text") >= SUBSTR_K,
+        F.expr(
+            f"transform(sequence(1, length(text) - {SUBSTR_K} + 1),"
+            f" i -> md5(substring(text, i, {SUBSTR_K})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = c.select(
+        "doc_id", F.explode(F.array_distinct(gram_arr)).alias("g")
+    )
+    cap = df_cap(c.count())
+    df_ok = (
+        grams.groupBy("g").agg(F.count("*").alias("df"))
+        .where(F.col("df") <= cap)
+        .select("g")
+    )
+    kept = cache.persist(grams.join(df_ok, "g"))
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, "g")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            "n_shared",
+        )
+    )
+
+
+def substring_pairs_oracle() -> str:
+    return f"""
+WITH {corpus_sql().strip()},
+grams AS (
+  SELECT DISTINCT doc_id, md5(substr(text, i, {SUBSTR_K})) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {SUBSTR_K} + 1)) AS i
+        FROM corpus WHERE length(text) >= {SUBSTR_K})
+),
+df_ok AS (
+  SELECT g FROM grams GROUP BY g
+  HAVING COUNT(*) <= GREATEST({DF_CAP_FLOOR},
+                              CEIL({DF_CAP_SCALE} * LOG2((SELECT COUNT(*) FROM corpus))))
+),
+kept AS (SELECT grams.* FROM grams JOIN df_ok USING (g))
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+       CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b USING (g)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# ------------------------------------------------- canonical representative --
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the dedup pipeline's final emit: keep
+    exactly one doc per duplicate cluster.  The min-label connected
+    component id IS the cluster's minimum doc_id, so the canonical doc
+    is the one whose id equals its component; every other doc points at
+    its canonical.  One narrow projection over dedup_components."""
+    comp = dedup_components(spark, sf_dir)
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("canonical_doc_id"),
+        (F.col("component") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+def dedup_canonical_oracle() -> str:
+    return f"""
+WITH comp AS ({dedup_components_oracle().strip()})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(component AS BIGINT) AS canonical_doc_id,
+       component = doc_id AS is_canonical
+FROM comp
+"""
