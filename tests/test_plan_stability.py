@@ -38,6 +38,27 @@ FROZEN = [
     "mixture_sample",
     "event_asof_join",
     "event_range_join",
+    # round-4 scale paths (queries whose plans must stay product-free;
+    # the derived-partsupp TPC-H queries and shard_packing carry
+    # sanctioned tiny-side BNLJs and have their own freeze tests)
+    "curation_pii_scrub",
+    "curation_gopher_repetition",
+    "text_fluency",
+    "curation_scorecard",
+    "curation_domain_cap_salted",
+    "dedup_substring",
+    "dedup_canonical",
+    "media_resize",
+    "media_frame_sample",
+    "page_render",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q20",
+    "tpch_q21",
 ]
 
 

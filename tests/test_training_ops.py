@@ -342,3 +342,26 @@ def test_media_resize_and_frame_sample_kernels():
     assert pos == len(raw)
     sampled = [i for i in seen if i % mm.FRAME_SAMPLE_K == 0]
     assert sampled == [0, 3] if n >= 4 else [0]
+
+
+def test_substring_dedup_finds_known_duplicates(spark):
+    """dedup_substring must pair every exact copy with its source (they
+    share every 40-char run) and every near-dup with its source (the
+    dropped-last-word edit leaves long shared prefixes)."""
+    from pdfplumber_golang_spark.functions import dedup as D
+
+    pairs = D.substring_pairs(spark, "/root/testdata/sf0.001").toPandas()
+    got = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id").toPandas()
+    ids = sorted(docs.doc_id)
+    missing_exact = [
+        d for d in ids if (d, d + D.DUP_OFFSET) not in got
+    ]
+    assert not missing_exact, missing_exact[:5]
+    near_ids = [d for d in ids if d % 5 == 0]
+    missing_near = [
+        d for d in near_ids if (d, d + D.NEAR_OFFSET) not in got
+    ]
+    assert not missing_near, missing_near[:5]
