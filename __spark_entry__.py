@@ -1089,6 +1089,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
         "ann_ivf": ann.ann_ivf,
+        "ann_pq": ann.ann_pq,
         "media_features": multimodal.media_features_q,
         "media_pixel_stats": multimodal.media_pixel_stats_q,
         "media_resize": multimodal.media_resize_q,
@@ -1309,6 +1310,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "ann_bruteforce": ann.ann_bruteforce_oracle(),
         "ann_lsh": ann.ann_lsh_oracle(),
         "ann_ivf": ann.ann_ivf_oracle(),
+        "ann_pq": ann.ann_pq_oracle(),
         "media_features": multimodal.media_features_oracle(),
         "media_pixel_stats": multimodal.media_pixel_stats_oracle(),
         "media_resize": multimodal.media_resize_oracle(),

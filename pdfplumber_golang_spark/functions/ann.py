@@ -641,3 +641,185 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        CAST(cand_id AS BIGINT) AS neighbor_id, ROUND(cos, 4) AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ------------------------------------------------------------------- PQ ---
+
+PQ_M = 4        # subspaces (EMB_DIM / PQ_M dims each)
+PQ_K = 16       # codes per subspace codebook
+PQ_ITERS = 2    # Lloyd iterations per subspace (unrolled in the oracle)
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def _sub_vecs(vecs: DataFrame, m: int) -> DataFrame:
+    """Subspace slice m (1-based): dims [(m-1)*PQ_SUB+1 .. m*PQ_SUB]."""
+    return vecs.select(
+        "vec_id", F.slice("vi", (m - 1) * PQ_SUB + 1, PQ_SUB).alias("vi")
+    )
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): each vector is
+    encoded as PQ_M per-subspace codebook ids; a query scores the whole
+    database from a tiny asymmetric-distance (ADC) lookup table —
+    distance ~ sum over subspaces of ||query_sub - codebook[code]||².
+
+    Everything runs in the fixed-point integer domain of the IVF
+    quantizer (same deterministic init + floor-mean Lloyd rounds, per
+    subspace), so every codebook, code and ADC sum is EXACT and
+    hash-checkable against the unrolled SQL restatement.  Scale shape:
+    codebooks are PQ_M x PQ_K rows (always broadcast), codes are PQ_M
+    small integers per vector (this is the point of PQ — the database
+    compresses ~entries x M bytes), and scoring is one equi-join of
+    codes against the broadcast ADC table + a combinable per-(query,
+    vector) sum.  Complements ann_lsh (hash buckets) and ann_ivf
+    (coarse partitions) as the third standard ANN family."""
+    emb = _emb(spark, sf_dir)
+    vecs = _int_vecs(emb)
+    codes_parts = []
+    qdist_parts = []
+    for m in range(1, PQ_M + 1):
+        sub = _sub_vecs(vecs, m)
+        cents = sub.where(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").cast("int").alias("cid"), F.col("vi").alias("ci")
+        )
+        for _ in range(PQ_ITERS):
+            assign = _assign(sub, cents)
+            cents = _update(sub, assign, cents)
+        codes_parts.append(
+            _assign(sub, cents).select(
+                "vec_id", F.lit(m).alias("m"), F.col("cid").alias("code")
+            )
+        )
+        qd = _sqdist(F.col("vi"), F.col("ci"))
+        qdist_parts.append(
+            sub.where(F.col("vec_id") < N_QUERIES)
+            .join(F.broadcast(cents))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.lit(m).alias("m"),
+                F.col("cid").alias("code"),
+                qd.alias("d"),
+            )
+        )
+    codes = codes_parts[0]
+    for p in codes_parts[1:]:
+        codes = codes.unionByName(p)
+    qdist = qdist_parts[0]
+    for p in qdist_parts[1:]:
+        qdist = qdist.unionByName(p)
+    adist = (
+        codes.where(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(qdist), ["m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").cast("long").alias("neighbor_id"),
+            F.col("adist").cast("long").alias("adist"),
+        )
+    )
+
+
+def ann_pq_oracle() -> str:
+    """The same per-subspace integer k-means + ADC scoring, unrolled as
+    SQL CTEs (PQ_M independent codebooks x PQ_ITERS Lloyd rounds)."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(v.vi)),"
+        " d -> (v.vi[d] - c.ci[d]) * (v.vi[d] - c.ci[d])))"
+    )
+
+    def assign(vtab: str, ctab: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rk
+    FROM {vtab} v, {ctab} c
+  ) WHERE rk = 1
+)"""
+
+    def update(vtab: str, atab: str, prev: str, out: str) -> str:
+        return f"""
+{out}_sums AS (
+  SELECT a.cid, d,
+         CAST(FLOOR(SUM(v.vi[d])::DOUBLE / COUNT(*)) AS BIGINT) AS c
+  FROM {atab} a JOIN {vtab} v USING (vec_id),
+       (SELECT unnest(generate_series(1, {PQ_SUB})) AS d)
+  GROUP BY a.cid, d
+),
+{out} AS (
+  SELECT p.cid,
+         CASE WHEN COUNT(s.c) = 0 THEN p.ci
+              ELSE list(s.c ORDER BY s.d) END AS ci
+  FROM {prev} p LEFT JOIN {out}_sums s ON s.cid = p.cid
+  GROUP BY p.cid, p.ci
+)"""
+
+    parts = []
+    for m in range(1, PQ_M + 1):
+        off = (m - 1) * PQ_SUB
+        parts.append(f""",
+sv{m} AS (
+  SELECT vec_id,
+         list_transform(generate_series({off + 1}, {off + PQ_SUB}),
+                        d -> vi[d]) AS vi
+  FROM vecs
+),
+c{m}_0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, vi AS ci
+  FROM sv{m} WHERE vec_id < {PQ_K}
+)""")
+        prev = f"c{m}_0"
+        for it in range(1, PQ_ITERS + 1):
+            parts.append("," + assign(f"sv{m}", prev, f"a{m}_{it}"))
+            parts.append("," + update(f"sv{m}", f"a{m}_{it}", prev, f"c{m}_{it}"))
+            prev = f"c{m}_{it}"
+        parts.append("," + assign(f"sv{m}", prev, f"code{m}"))
+        parts.append(f""",
+qd{m} AS (
+  SELECT v.vec_id AS query_id, {m} AS m, c.cid AS code, {dist} AS d
+  FROM sv{m} v, {prev} c WHERE v.vec_id < {N_QUERIES}
+)""")
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, cid AS code FROM code{m}"
+        for m in range(1, PQ_M + 1)
+    )
+    qd_union = " UNION ALL ".join(
+        f"SELECT * FROM qd{m}" for m in range(1, PQ_M + 1)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+vecs AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(ROUND(x * {IVF_SCALE}) AS BIGINT)) AS vi
+  FROM emb
+){"".join(parts)},
+codes AS ({codes_union}),
+qd AS ({qd_union}),
+adist AS (
+  SELECT q.query_id, c.vec_id, SUM(q.d) AS adist
+  FROM codes c JOIN qd q ON q.m = c.m AND q.code = c.code
+  WHERE c.vec_id >= {N_QUERIES}
+  GROUP BY q.query_id, c.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rk AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS neighbor_id,
+       CAST(adist AS BIGINT) AS adist
+FROM (
+  SELECT query_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, vec_id ASC) AS rk
+  FROM adist
+) WHERE rk <= {TOP_K}
+"""

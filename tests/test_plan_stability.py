@@ -217,3 +217,15 @@ def test_tpch_semi_and_anti_join_shapes(spark):
     q13 = _executed_plan(E.queries()["tpch_q13"](spark, SF_DIR))
     assert "partial_count" in q13, q13
     assert "CartesianProduct" not in q13, q13
+
+
+def test_ann_pq_products_are_codebook_broadcasts_only(spark):
+    """ann_pq's per-subspace assign/ADC steps are vector x codebook
+    products — every one must build the PQ_K-row codebook side as an
+    identity broadcast (same sanction as ann_ivf's centroids); the
+    code-scoring join itself is a hash equi-join on (m, code)."""
+    plan = _executed_plan(E.queries()["ann_pq"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert 0 < n_bnlj <= 40, plan
+    assert plan.count("IdentityBroadcastMode") >= n_bnlj, plan

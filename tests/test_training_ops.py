@@ -365,3 +365,21 @@ def test_substring_dedup_finds_known_duplicates(spark):
         d for d in near_ids if (d, d + D.NEAR_OFFSET) not in got
     ]
     assert not missing_near, missing_near[:5]
+
+
+def test_ann_pq_quality_beats_random(spark):
+    """PQ with 4x16 codebooks on the synthetic (near-random) embeddings
+    is a coarse quantizer — assert it still ranks far above chance
+    (random top-10 recall here is ~0.02) and returns a full result set.
+    Production raises PQ_K toward 256; the machinery is identical."""
+    from pdfplumber_golang_spark.functions import ann
+
+    pq = ann.ann_pq(spark, "/root/testdata/sf0.001").toPandas()
+    bf = ann.ann_bruteforce(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(pq) == ann.N_QUERIES * ann.TOP_K
+    recalls = []
+    for q in sorted(set(bf.query_id)):
+        p = set(pq[pq.query_id == q].neighbor_id)
+        b = set(bf[bf.query_id == q].neighbor_id)
+        recalls.append(len(p & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
