@@ -85,3 +85,25 @@ def test_multiline_assembly():
         y = 700 - k * spec.LEADING
         lines += [ch(c, i * 7.0, y) for i, c in enumerate(s)]
     assert organize_text(lines) == "abc\ndef"
+
+
+def test_word_spans_slice_back_to_tokens(spark):
+    """Provenance invariant: slicing the real extracted text with each
+    span's offsets must reproduce the token exactly."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from pdfplumber_golang_spark import pipeline
+    from pdfplumber_golang_spark.sources.pagesgen import load_or_build_pages
+
+    SF = "/root/testdata/sf0.001"
+    spans = E.queries()["word_spans"](spark, SF)
+    pages = load_or_build_pages(spark, SF).where(F.col("variant") == "html")
+    docs = pipeline.doc_text(pipeline.extract_pages(pages)).select("url", "text")
+    joined = spans.join(docs, "url").withColumn(
+        "sliced",
+        F.expr("substring(replace(text, '\n', ' '), span_start + 1,"
+               " span_end - span_start)"),
+    )
+    bad = joined.where(F.col("sliced") != F.col("word")).count()
+    assert bad == 0
