@@ -1116,6 +1116,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pii_scrub": curation.pii_scrub,
         "curation_gopher_repetition": curation.gopher_repetition,
         "curation_scorecard": curation.curation_scorecard,
+        "corpus_build": curation.corpus_build,
         "curation_url_canonicalize": curation.url_canonicalize,
         "curation_web_pipeline": curation.web_pipeline,
         "crawl_host_windows": curation.crawl_host_windows_q,
@@ -1357,6 +1358,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "curation_pii_scrub": curation.pii_scrub_oracle(),
         "curation_gopher_repetition": curation.gopher_repetition_oracle(),
         "curation_scorecard": curation.curation_scorecard_oracle(),
+        "corpus_build": curation.corpus_build_oracle(),
         "curation_url_canonicalize": curation.url_canonicalize_oracle(),
         "curation_web_pipeline": curation.web_pipeline_oracle(),
         "crawl_host_windows": curation.crawl_host_windows_oracle(),

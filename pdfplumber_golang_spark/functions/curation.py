@@ -872,3 +872,100 @@ JOIN p ON p.doc_id = g.doc_id
 JOIN f ON f.doc_id = g.doc_id
 JOIN m ON m.doc_id = g.doc_id
 """
+
+
+# -------------------------------------------------------------- full build --
+
+BUILD_MIX_RATE = 80  # % of deduped docs kept by the mixture coin
+
+
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build in one Catalyst plan — what a user of
+    this engine actually ships: HTML extraction (mapInPandas kernel) →
+    C4 line filter + global line dedup → exact doc dedup (first
+    occurrence per content fingerprint, combinable groupBy-min) →
+    deterministic mixture sampling (hash coin on the doc number parsed
+    from the url) → token-budget shard packing over the survivors with
+    the scale-safe two-phase cumsum (range buckets + lazy broadcast
+    prefix offsets; no global sort).
+
+    Emits one row per doc that survives every stage: (url, n_tokens,
+    shard_id).  Every stage is individually oracle-verified elsewhere;
+    this row verifies their COMPOSITION end to end."""
+    cleaned = c4_line_dedup(spark, sf_dir)
+    toks = F.size(F.split(F.regexp_replace("text", "\n", " "), " "))
+    scored = cleaned.select(
+        "url",
+        toks.cast("long").alias("n_tokens"),
+        F.md5("text").alias("fp"),
+        F.regexp_extract("url", r"doc([0-9]+)$", 1).cast("long").alias("doc_no"),
+    )
+    # exact dedup: first occurrence (min doc_no) per content fingerprint
+    firsts = (
+        scored.groupBy("fp")
+        .agg(F.min(F.struct("doc_no", "url", "n_tokens")).alias("k"))
+        .select(
+            F.col("k.doc_no").alias("doc_no"),
+            F.col("k.url").alias("url"),
+            F.col("k.n_tokens").alias("n_tokens"),
+        )
+    )
+    coin = (F.col("doc_no") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    kept = firsts.where(coin < BUILD_MIX_RATE)
+    # two-phase cumsum shard packing over the kept docs (doc_no order)
+    d = kept.withColumn(
+        "bkt", (F.col("doc_no") / SHARD_BUCKET_DOCS).cast("long")
+    )
+    totals = d.groupBy("bkt").agg(F.sum("n_tokens").alias("tot"))
+    earlier = totals.select(
+        F.col("bkt").alias("e_bkt"), F.col("tot").alias("e_tot")
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(earlier), F.col("e_bkt") < F.col("bkt"), "left"
+        )
+        .groupBy("bkt")
+        .agg(F.coalesce(F.sum("e_tot"), F.lit(0)).alias("offset"))
+    )
+    wloc = Window.partitionBy("bkt").orderBy("doc_no").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.col("offset") + F.sum("n_tokens").over(wloc)
+    return (
+        d.join(F.broadcast(offsets), "bkt")
+        .select(
+            "url",
+            "n_tokens",
+            ((cum - F.col("n_tokens")) / SHARD_TOKENS)
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
+
+
+def corpus_build_oracle() -> str:
+    return f"""
+WITH cleaned AS ({c4_line_dedup_oracle().strip()}),
+scored AS (
+  SELECT url,
+         CAST(len(string_split(replace(text, chr(10), ' '), ' ')) AS BIGINT)
+           AS n_tokens,
+         md5(text) AS fp,
+         CAST(regexp_extract(url, 'doc([0-9]+)$', 1) AS BIGINT) AS doc_no
+  FROM cleaned
+),
+firsts AS (
+  SELECT fp, MIN(doc_no) AS doc_no FROM scored GROUP BY fp
+),
+kept AS (
+  SELECT s.doc_no, s.url, s.n_tokens
+  FROM scored s JOIN firsts f ON s.fp = f.fp AND s.doc_no = f.doc_no
+  WHERE s.doc_no * 2654435761 % 4294967296 % 100 < {BUILD_MIX_RATE}
+)
+SELECT url, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_no
+                                       ROWS UNBOUNDED PRECEDING)
+                   - n_tokens)::DOUBLE / {SHARD_TOKENS}) AS BIGINT)
+         AS shard_id
+FROM kept
+"""

@@ -229,3 +229,16 @@ def test_ann_pq_products_are_codebook_broadcasts_only(spark):
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
     assert 0 < n_bnlj <= 40, plan
     assert plan.count("IdentityBroadcastMode") >= n_bnlj, plan
+
+
+def test_corpus_build_composition_stays_scale_safe(spark):
+    """The end-to-end corpus build must keep every stage's scale shape
+    when composed: combinable first-occurrence dedup (partial_min), no
+    global-sort SinglePartition exchange anywhere (the shard phase is
+    the two-phase cumsum), exactly one sanctioned tiny-side BNLJ (the
+    prefix offsets), and no cartesian products."""
+    plan = _executed_plan(E.queries()["corpus_build"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
