@@ -620,6 +620,41 @@ def _q_word_spans(spark, sf_dir):
     )
 
 
+def _q_word_spans_pdf(spark, sf_dir):
+    """The PDF twin of word_spans: provenance offsets over text that came
+    through the full byte-level kernel (xref -> filters -> content
+    interpreter -> layout reassembly).  Together with the HTML row this
+    closes the north rule's "extracted text/spans per document" for both
+    document classes; the same single-char-separator invariant holds
+    because layout assembly joins words with spaces and lines with
+    newlines."""
+    from pyspark.sql import Window
+
+    pages = load_or_build_pages(spark, sf_dir).where(
+        F.col("variant").startswith("pdf_")
+    )
+    docs = pipeline.doc_text(pipeline.extract_pages(pages)).select("url", "text")
+    toks = docs.select(
+        "url",
+        F.posexplode(
+            F.split(F.regexp_replace("text", "\n", " "), " ")
+        ).alias("idx", "word"),
+    )
+    w = (
+        Window.partitionBy("url")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(F.length("word") + 1).over(w), F.lit(0))
+    return toks.select(
+        "url",
+        F.col("idx").cast("long").alias("idx"),
+        "word",
+        start.cast("long").alias("span_start"),
+        (start + F.length("word")).cast("long").alias("span_end"),
+    )
+
+
 def _q_pdf_metadata(spark, sf_dir):
     """Trailer /Info metadata per PDF url (reference defines the Metadata
     struct but never fills it — we implement the read)."""
@@ -1086,6 +1121,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_line_texts": _q_line_texts,
         "layout_word_agg": _q_word_agg,
         "word_spans": _q_word_spans,
+        "word_spans_pdf": _q_word_spans_pdf,
         "layout_page_text": _q_layout_page_text,
         "edge_dedup": _q_edge_dedup,
         "edge_orientation": _q_edge_orientation,
@@ -1270,6 +1306,26 @@ SELECT {spec.SQL_URL} AS url, CAST(i + 1 AS BIGINT) AS line_id,
 FROM (SELECT doc_id, text,
              unnest(generate_series(0, (length(text) - 1) // {w})) AS i
       FROM documents)
+""",
+        "word_spans_pdf": f"""
+WITH g AS ({spec.pdf_golden_duckdb_sql(spec.SQL_IS_PDF).strip()}),
+toks AS (
+  SELECT url, i - 1 AS idx, t[i] AS word
+  FROM (SELECT url, string_split(replace(text, chr(10), ' '), ' ') AS t,
+               unnest(generate_series(1,
+                 len(string_split(replace(text, chr(10), ' '), ' ')))) AS i
+        FROM g)
+)
+SELECT url, CAST(idx AS BIGINT) AS idx, word,
+       CAST(COALESCE(SUM(length(word) + 1) OVER (
+              PARTITION BY url ORDER BY idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS span_start,
+       CAST(COALESCE(SUM(length(word) + 1) OVER (
+              PARTITION BY url ORDER BY idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + length(word) AS BIGINT) AS span_end
+FROM toks
 """,
         "word_spans": f"""
 WITH g AS ({spec.html_golden_duckdb_sql(spec.SQL_IS_HTML).strip()}),
