@@ -59,6 +59,8 @@ FROZEN = [
     "tpch_q13",
     "tpch_q20",
     "tpch_q21",
+    "word_spans",
+    "word_spans_pdf",
 ]
 
 
