@@ -641,6 +641,11 @@ def media_frame_sample(video: DataFrame, k: int = FRAME_SAMPLE_K) -> DataFrame:
                 (n,) = struct.unpack(">I", raw[4:8])
                 pos = 8
                 for i in range(n):
+                    # truncated container: a short length field ends the
+                    # walk (emitting the frames that ARE complete) rather
+                    # than raising out of the executor task
+                    if len(raw) - pos < 4:
+                        break
                     (ln,) = struct.unpack(">I", raw[pos : pos + 4])
                     frame = raw[pos + 4 : pos + 4 + ln]
                     pos += 4 + ln

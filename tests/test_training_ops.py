@@ -383,3 +383,27 @@ def test_ann_pq_quality_beats_random(spark):
         b = set(bf[bf.query_id == q].neighbor_id)
         recalls.append(len(p & b) / len(b))
     assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_frame_sample_survives_truncated_containers(spark):
+    """Executor safety: a video column holding truncated / garbage bytes
+    must yield the complete frames (with degraded header parses where the
+    frame bytes are cut) and never raise out of the task."""
+    import pandas as pd
+
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    full = mm.video_bytes(9)
+    cases = pd.DataFrame(
+        {
+            "url": ["full", "half", "header_only", "garbage", "empty"],
+            "data": [full, full[: len(full) // 2], full[:8], b"nope", b""],
+        }
+    )
+    video = spark.createDataFrame(cases)
+    out = mm.media_frame_sample(video).toPandas()
+    # the full container samples frames 0 and 3 (n=4 for doc_id=9 ... 2+9%7)
+    assert set(out[out.url == "full"].frame_idx) == {0, 3}
+    # the half container keeps its complete sampled frames only
+    assert set(out.url) <= {"full", "half", "header_only"}
+    assert (out[out.url == "half"].frame_idx >= 0).all()
