@@ -1137,6 +1137,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": dedup.dedup_canonical,
         "dedup_substring": dedup.substring_pairs,
         "dedup_incremental": dedup.dedup_incremental,
+        "dedup_bloom_incremental": dedup.dedup_bloom_incremental,
         "text_langid": text_analysis.lang_id,
         "text_langid_trigram": text_analysis.lang_id_trigram,
         "text_quality": text_analysis.quality_score,
@@ -1399,6 +1400,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "dedup_canonical": dedup.dedup_canonical_oracle(),
         "dedup_substring": dedup.substring_pairs_oracle(),
         "dedup_incremental": dedup.dedup_incremental_oracle(),
+        "dedup_bloom_incremental": dedup.dedup_bloom_incremental_oracle(),
         "text_langid": text_analysis.lang_id_oracle(),
         "text_langid_trigram": text_analysis.lang_id_trigram_oracle(),
         "text_quality": text_analysis.quality_score_oracle(),

@@ -698,3 +698,99 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        component = doc_id AS is_canonical
 FROM comp
 """
+
+
+# ------------------------------------------------------ bloom-filter probe --
+
+BLOOM_M = 1 << 16  # filter bits
+BLOOM_K = 4        # hash functions (md5 hex slices — engine-portable)
+
+
+def _bloom_positions(col):
+    """K bit positions from non-overlapping 32-bit slices of md5(col) —
+    portable integer hashing both engines compute identically."""
+    return F.array_distinct(
+        F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(col), 1 + 8 * i, 8), 16, 10
+                ).cast("long")
+                % BLOOM_M
+                for i in range(BLOOM_K)
+            ]
+        )
+    )
+
+
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-membership incremental dedup: probe a NEW batch
+    against a Bloom filter of the existing corpus — the standard way a
+    rolling crawl rejects already-seen content without joining the whole
+    corpus (state is M bits, not N documents).
+
+    The filter is materialized as the distinct set-bit relation (<= M
+    rows, broadcast — semantically identical to the bitmap an executor
+    would hold); a batch doc "might exist" iff ALL its positions are
+    set.  Exact re-crawls always hit (same text, same positions); edited
+    near-dups mostly miss, and any false positive is DETERMINISTIC
+    because both engines compute identical md5-slice positions, so the
+    oracle restates the whole construction bit-for-bit."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    corpus_bits = (
+        docs.select(F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+        .distinct()
+    )
+    batch = dup_corpus(spark, sf_dir).where(F.col("doc_id") >= DUP_OFFSET)
+    probe = batch.select(
+        "doc_id",
+        F.size(_bloom_positions(F.col("text"))).alias("n_pos"),
+        F.explode(_bloom_positions(F.col("text"))).alias("pos"),
+    )
+    hits = (
+        probe.join(F.broadcast(corpus_bits), "pos")
+        .groupBy("doc_id", "n_pos")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)) == F.coalesce("n_pos", F.lit(-1))
+            ).alias("might_exist"),
+        )
+    )
+
+
+def dedup_bloom_incremental_oracle() -> str:
+    pos_list = ", ".join(
+        f"(('0x' || substr(md5(text), {1 + 8 * i}, 8))::BIGINT % {BLOOM_M})"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH {corpus_sql().strip()},
+bits AS (
+  SELECT DISTINCT unnest(list_distinct([{pos_list}])) AS pos
+  FROM documents
+),
+batch AS (
+  SELECT doc_id, list_distinct([{pos_list}]) AS ps
+  FROM corpus WHERE doc_id >= {DUP_OFFSET}
+),
+probe AS (
+  SELECT doc_id, len(ps) AS n_pos, unnest(ps) AS pos FROM batch
+),
+hits AS (
+  SELECT doc_id, n_pos, COUNT(*) AS n_hits
+  FROM probe JOIN bits USING (pos)
+  GROUP BY doc_id, n_pos
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) = COALESCE(h.n_pos, -1) AS might_exist
+FROM batch b LEFT JOIN hits h ON h.doc_id = b.doc_id
+"""

@@ -407,3 +407,18 @@ def test_frame_sample_survives_truncated_containers(spark):
     # the half container keeps its complete sampled frames only
     assert set(out.url) <= {"full", "half", "header_only"}
     assert (out[out.url == "half"].frame_idx >= 0).all()
+
+
+def test_bloom_probe_semantics(spark):
+    """Bloom membership: every exact re-crawl must hit (zero false
+    negatives — the Bloom guarantee); edited near-dups mostly miss, and
+    the overall positive set stays deterministic."""
+    from pdfplumber_golang_spark.functions import dedup as D
+
+    out = D.dedup_bloom_incremental(spark, "/root/testdata/sf0.001").toPandas()
+    exact = out[out.doc_id < D.NEAR_OFFSET]
+    assert exact.might_exist.all()   # no false negatives, ever
+    near = out[out.doc_id >= D.NEAR_OFFSET]
+    assert len(near) > 0
+    # near-dups have different text; most must miss at this fill factor
+    assert near.might_exist.mean() < 0.5
