@@ -589,10 +589,15 @@ def _q_word_spans(spark, sf_dir):
     the final extracted text with its exact [start, end) character
     offsets — the substring invariants a training pipeline needs to map
     quality signals / annotations back into documents.  The extracted
-    text joins tokens with single-char separators (space within lines,
+    text joins tokens with single-byte separators (space within lines,
     newline between), so offsets derive from token lengths alone; the
     oracle restates the same cumulative form over the byte-identical
-    golden text, making any extraction OR offset defect a hash break."""
+    golden text, making any extraction OR offset defect a hash break.
+    Offsets are defined in UTF-8 BYTES (octet_length here, strlen in the
+    oracle): an engine-native length() would count UTF-16 code units on
+    Spark but code points on DuckDB, diverging on any non-BMP char —
+    bytes are the one unit both engines (and downstream slicing of the
+    stored UTF-8 text) agree on."""
     from pyspark.sql import Window
 
     pages = load_or_build_pages(spark, sf_dir).where(F.col("variant") == "html")
@@ -609,14 +614,14 @@ def _q_word_spans(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(
-        F.sum(F.length("word") + 1).over(w), F.lit(0)
+        F.sum(F.octet_length("word") + 1).over(w), F.lit(0)
     )
     return toks.select(
         "url",
         F.col("idx").cast("long").alias("idx"),
         "word",
         start.cast("long").alias("span_start"),
-        (start + F.length("word")).cast("long").alias("span_end"),
+        (start + F.octet_length("word")).cast("long").alias("span_end"),
     )
 
 
@@ -627,7 +632,8 @@ def _q_word_spans_pdf(spark, sf_dir):
     closes the north rule's "extracted text/spans per document" for both
     document classes; the same single-char-separator invariant holds
     because layout assembly joins words with spaces and lines with
-    newlines."""
+    newlines.  Offsets are UTF-8 bytes (octet_length / strlen) — see
+    _q_word_spans for why engine-native length() is not portable."""
     from pyspark.sql import Window
 
     pages = load_or_build_pages(spark, sf_dir).where(
@@ -645,13 +651,13 @@ def _q_word_spans_pdf(spark, sf_dir):
         .orderBy("idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum(F.length("word") + 1).over(w), F.lit(0))
+    start = F.coalesce(F.sum(F.octet_length("word") + 1).over(w), F.lit(0))
     return toks.select(
         "url",
         F.col("idx").cast("long").alias("idx"),
         "word",
         start.cast("long").alias("span_start"),
-        (start + F.length("word")).cast("long").alias("span_end"),
+        (start + F.octet_length("word")).cast("long").alias("span_end"),
     )
 
 
@@ -1318,14 +1324,14 @@ toks AS (
         FROM g)
 )
 SELECT url, CAST(idx AS BIGINT) AS idx, word,
-       CAST(COALESCE(SUM(length(word) + 1) OVER (
+       CAST(COALESCE(SUM(strlen(word) + 1) OVER (
               PARTITION BY url ORDER BY idx
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             AS BIGINT) AS span_start,
-       CAST(COALESCE(SUM(length(word) + 1) OVER (
+       CAST(COALESCE(SUM(strlen(word) + 1) OVER (
               PARTITION BY url ORDER BY idx
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            + length(word) AS BIGINT) AS span_end
+            + strlen(word) AS BIGINT) AS span_end
 FROM toks
 """,
         "word_spans": f"""
@@ -1338,14 +1344,14 @@ toks AS (
         FROM g)
 )
 SELECT url, CAST(idx AS BIGINT) AS idx, word,
-       CAST(COALESCE(SUM(length(word) + 1) OVER (
+       CAST(COALESCE(SUM(strlen(word) + 1) OVER (
               PARTITION BY url ORDER BY idx
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             AS BIGINT) AS span_start,
-       CAST(COALESCE(SUM(length(word) + 1) OVER (
+       CAST(COALESCE(SUM(strlen(word) + 1) OVER (
               PARTITION BY url ORDER BY idx
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            + length(word) AS BIGINT) AS span_end
+            + strlen(word) AS BIGINT) AS span_end
 FROM toks
 """,
         "layout_word_agg": f"""

@@ -575,6 +575,22 @@ SHARD_TOKENS = 2000  # target token budget per training shard
 #: reuse the layout's range partitioning) so each bucket is one task.
 SHARD_BUCKET_DOCS = 1024
 
+#: cap on the superbucket relation — the ONLY input to the non-equi
+#: prefix join, so the BNLJ is at most (2^15)^2 long comparisons over a
+#: ~1 MB broadcast regardless of corpus size.
+SHARD_MAX_SUPERS = 1 << 15
+
+
+def shard_super_factor(n_buckets: int) -> int:
+    """Fine buckets per superbucket, derived from corpus stats at
+    plan-build time (the df_cap/lsh_params derivation pattern —
+    VERDICT r4 #1): ``ceil(B / SHARD_MAX_SUPERS)`` caps the super
+    relation at 2^15 rows no matter how many fine buckets exist, so the
+    prefix-offset stage is windows + one bounded BNLJ, never O(B^2)."""
+    import math
+
+    return max(1, math.ceil(n_buckets / SHARD_MAX_SUPERS))
+
 
 def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard assignment: docs in deterministic doc_id order
@@ -582,19 +598,36 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shard_id = floor((cumsum - n_tokens) / budget) — i.e. the shard a
     doc STARTS in).
 
-    Two-phase scale-safe cumsum — NO global orderBy window anywhere:
+    TWO-LEVEL prefix sum — no global orderBy window, and (the r4 fix) no
+    quadratic-in-bucket-count join either:
 
-      1. each doc goes to a doc_id-contiguous range bucket
-         (``floor(doc_id / SHARD_BUCKET_DOCS)``);
+      1. each doc goes to a doc_id-contiguous fine bucket
+         (``floor(doc_id / SHARD_BUCKET_DOCS)``) — B = N/1024 buckets;
       2. per-bucket token totals are one map-side-combinable groupBy
-         (n_buckets rows — 10^9 buckets at 10^12 docs, each a tiny row);
-      3. each bucket's prefix offset = sum of totals of all EARLIER
-         buckets, computed lazily as a broadcast non-equi self-join over
-         the tiny totals relation (no single-partition sort, no eager
-         driver action);
-      4. the big table runs the cumsum window PARTITIONED by bucket
-         (parallel, one local sort per bucket) and adds the broadcast
-         offset.
+         (B tiny rows);
+      3. fine buckets roll up into superbuckets of ``S = ceil(B / 2^15)``
+         buckets each (S derived from the corpus doc_id range at
+         plan-build, like ``df_cap``/``lsh_params``) — ≤ 2^15 supers;
+      4. the WITHIN-super exclusive prefix is a window PARTITIONED by
+         superbucket (parallel local sorts of ≤S tiny rows — a window,
+         not a join, so this level costs O(B log S) total);
+      5. only the ≤2^15-row super relation takes the broadcast non-equi
+         self-join (``e_sbkt < sbkt``) — bounded at (2^15)^2 cheap long
+         comparisons over a ~1 MB broadcast at ANY corpus size;
+      6. the big table runs the cumsum window PARTITIONED by fine bucket
+         (one ~1024-row local sort per bucket) and adds
+         ``super_offset + intra_offset``.
+
+    At the 100 TB design point (N ≈ 10^12 docs): B ≈ 10^9 fine buckets,
+    S ≈ 3×10^4, supers = 2^15 — every stage is linear in B except the
+    one capped BNLJ.  The offsets join onto the big table is a plain
+    bkt-equi join (NOT a broadcast: B rows is tens of GB at 10^12 docs);
+    its shuffle-by-bkt is the same partitioning the cumsum window needs,
+    so the exchange is shared.  The only plan-build action is the
+    column-pruned, map-side-combined ``max(doc_id)`` (one row to the
+    driver, the lsh_params pattern).  A production run persists the
+    B-row ``totals`` relation (two consumers: intra window + super
+    rollup) via ``plans.cache.persist``.
 
     Identical math to the naive global ``Window.orderBy(doc_id)`` cumsum;
     the oracle below states exactly that global form."""
@@ -603,23 +636,37 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "bkt", (F.col("doc_id") / SHARD_BUCKET_DOCS).cast("long")
     )
-    totals = d.groupBy("bkt").agg(F.sum("n_tokens").alias("tot"))
-    earlier = totals.select(
-        F.col("bkt").alias("e_bkt"), F.col("tot").alias("e_tot")
+    max_id = _docs(spark, sf_dir).agg(F.max("doc_id")).collect()[0][0] or 0
+    sup = shard_super_factor(int(max_id) // SHARD_BUCKET_DOCS + 1)
+    totals = d.groupBy("bkt").agg(F.sum("n_tokens").alias("tot")).withColumn(
+        "sbkt", (F.col("bkt") / sup).cast("long")
     )
-    offsets = (
-        totals.join(
-            F.broadcast(earlier), F.col("e_bkt") < F.col("bkt"), "left"
+    w_intra = Window.partitionBy("sbkt").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    intra = totals.withColumn(
+        "intra", F.coalesce(F.sum("tot").over(w_intra), F.lit(0))
+    )
+    supers = totals.groupBy("sbkt").agg(F.sum("tot").alias("stot"))
+    earlier = supers.select(
+        F.col("sbkt").alias("e_sbkt"), F.col("stot").alias("e_stot")
+    )
+    soff = (
+        supers.join(
+            F.broadcast(earlier), F.col("e_sbkt") < F.col("sbkt"), "left"
         )
-        .groupBy("bkt")
-        .agg(F.coalesce(F.sum("e_tot"), F.lit(0)).alias("offset"))
+        .groupBy("sbkt")
+        .agg(F.coalesce(F.sum("e_stot"), F.lit(0)).alias("soffset"))
+    )
+    offsets = intra.join(F.broadcast(soff), "sbkt").select(
+        "bkt", (F.col("soffset") + F.col("intra")).alias("offset")
     )
     wloc = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = F.col("offset") + F.sum("n_tokens").over(wloc)
     return (
-        d.join(F.broadcast(offsets), "bkt")
+        d.join(offsets, "bkt")
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -662,7 +709,16 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     injection and the same regexes, so both engines must find the same
     matches AND produce byte-identical scrubbed text (checked via md5).
     Scrub order: emails, then phones, then IPs (each placeholder is
-    inert under the later patterns)."""
+    inert under the later patterns).
+
+    Counting uses the column-based ``F.regexp_count`` API, never patterns
+    interpolated into ``F.expr`` SQL text: Spark's SQL string literals
+    strip backslashes, so an embedded ``'\\.'`` silently becomes ``'.'``
+    (any char) and the counts drift from the scrubber and the oracle.
+    The ``doc_id % 4 == 3`` decoy tail (``'rev 1 2 3 4 at x@y z end'``)
+    pins this: the digit run matches the UNescaped IPv4 pattern (space
+    matches ``.``) and ``x@y z`` matches the unescaped email pattern, so
+    any future regression re-breaks the hash."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     injected = F.expr(
         "CASE CAST(doc_id % 4 AS INT)"
@@ -672,29 +728,23 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' today'"
         " WHEN 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS STRING)"
         "   || '.0.' || CAST((doc_id * 7) % 256 AS STRING) || ' logged'"
-        " ELSE text END"
+        " ELSE text || ' rev 1 2 3 4 at x@y z end' END"
     )
     raw = d.select("doc_id", injected.alias("t"))
-    n = lambda pat: F.size(F.expr(f"regexp_extract_all(t, '{pat}', 0)"))
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), PII_EMAIL, "<EMAIL>"),
-            PII_PHONE, "<PHONE>",
-        ),
-        PII_IP, "<IP>",
+    prescrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_EMAIL, "<EMAIL>"),
+        PII_PHONE, "<PHONE>",
     )
+    clean = F.regexp_replace(prescrubbed, PII_IP, "<IP>")
     return raw.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        n(PII_EMAIL).cast("long").alias("n_emails"),
-        n(PII_PHONE).cast("long").alias("n_phones"),
+        F.regexp_count("t", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
         # IP count on the phone-scrubbed text: raw phone digits would
         # otherwise partially match the IPv4 pattern on one engine or the
         # other depending on leftmost-match tie-breaks — count what the
         # scrubber actually sees
-        F.size(F.expr(
-            f"regexp_extract_all(regexp_replace(regexp_replace(t, '{PII_EMAIL}',"
-            f" '<EMAIL>'), '{PII_PHONE}', '<PHONE>'), '{PII_IP}', 0)"
-        )).cast("long").alias("n_ips"),
+        F.regexp_count(prescrubbed, F.lit(PII_IP)).cast("long").alias("n_ips"),
         F.md5(clean).alias("clean_fp"),
     )
 
@@ -710,7 +760,7 @@ WITH raw AS (
             || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' today'
           WHEN 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS STRING)
             || '.0.' || CAST((doc_id * 7) % 256 AS STRING) || ' logged'
-          ELSE text END AS t
+          ELSE text || ' rev 1 2 3 4 at x@y z end' END AS t
   FROM documents
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

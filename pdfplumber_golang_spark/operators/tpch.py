@@ -908,8 +908,11 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             # half-up in EXACT integer space: s_rev has scale 1e-4; a
             # double ROUND(x/10000.0, 2) can land a hair below .xx5 and
-            # flip the last cent differently per engine
-            (F.floor((F.col("s_rev") + 50) / 100) / 100.0).alias("revenue"),
+            # flip the last cent differently per engine.  `div` keeps the
+            # quotient in LONG arithmetic — `/` would promote to double
+            # and beyond 2^53 the floor can again flip a cent vs DuckDB's
+            # integer `//`
+            (F.expr("(s_rev + 50) div 100") / 100.0).alias("revenue"),
             F.round("c_acctbal", 2).alias("c_acctbal"),
             "n_name",
         )

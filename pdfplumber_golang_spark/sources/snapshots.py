@@ -48,6 +48,30 @@ def _hint_path(table_dir: str) -> str:
 
 
 def current_version(table_dir: str) -> int | None:
+    """Head = the highest committed manifest, NOT the version hint.
+
+    The manifest CAS (``os.link`` in ``_commit``) is the commit point;
+    the hint swap after it is only a reader fast-path.  A committer that
+    crashes between the two leaves an orphan v(N+1) manifest with a hint
+    still saying N — if the head were derived from the hint, every later
+    commit would re-target v(N+1), hit FileExistsError, and raise
+    ConcurrentCommitError forever (retrying "re-read the head" never
+    advances: the table is permanently wedged).  Scanning the metadata
+    dir for the max vN self-heals that crash; the hint remains as a
+    fallback for layouts that carry only a hint.  Cost is one O(#snapshots)
+    listdir per commit/read — manifests are O(files) rows, never data."""
+    best = None
+    try:
+        for name in os.listdir(_meta_dir(table_dir)):
+            if name.startswith("v") and name.endswith(".metadata.json"):
+                try:
+                    best = max(best or 0, int(name[1 : -len(".metadata.json")]))
+                except ValueError:
+                    continue
+    except FileNotFoundError:
+        pass
+    if best is not None:
+        return best
     try:
         with open(_hint_path(table_dir)) as f:
             return int(f.read().strip())

@@ -59,3 +59,81 @@ def test_gopher_short_docs_score_zero_not_crash(spark, tmp_path):
     assert not out.loc[0, "keep"]
     assert out.loc[1, "top_bigram_frac"] == 1.0
     assert len(out) == 3
+
+
+def test_pii_escaped_patterns_ignore_digit_runs(spark, tmp_path):
+    """ADVICE r4: patterns interpolated into F.expr SQL literals lose
+    their backslashes ('\\.' -> '.' = any char), so '1 2 3 4' counted as
+    an IPv4 and 'x@y z' as an email.  The column-based regexp_count API
+    must keep the escapes: digit runs and spaced '@' shapes count zero,
+    while real PII still counts."""
+    import pandas as pd
+
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame(
+        {
+            # doc_id 3 -> the %4==3 branch: injection appends only the
+            # decoy tail, so these decoys are the whole signal
+            "doc_id": [3, 7],
+            "text": [
+                "released 1 2 3 4 and 5 6 7 8 versions x@y z",
+                "real a.b@example.com and 10.1.2.3 plus 1 2 3 4",
+            ],
+            "lang": ["en", "en"],
+        }
+    ).to_parquet(p)
+    out = curation.pii_scrub(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    # decoys only: nothing matches properly-escaped patterns
+    assert out.loc[3, "n_emails"] == 0
+    assert out.loc[3, "n_phones"] == 0
+    assert out.loc[3, "n_ips"] == 0
+    # real PII still found (plus decoys contributing zero)
+    assert out.loc[7, "n_emails"] == 1
+    assert out.loc[7, "n_ips"] == 1
+
+
+def test_shard_super_factor_caps_bnlj_relation():
+    """VERDICT r4 #1: the super factor must cap the non-equi-join input
+    at SHARD_MAX_SUPERS rows no matter the corpus size."""
+    import math
+
+    assert curation.shard_super_factor(1) == 1
+    assert curation.shard_super_factor(curation.SHARD_MAX_SUPERS) == 1
+    assert curation.shard_super_factor(curation.SHARD_MAX_SUPERS + 1) == 2
+    for b in (10**6, 10**9, 10**12):
+        s = curation.shard_super_factor(b)
+        assert math.ceil(b / s) <= curation.SHARD_MAX_SUPERS
+
+
+def test_shard_packing_two_level_matches_naive(spark, tmp_path):
+    """The two-level prefix sum must equal the naive global cumsum on a
+    corpus whose doc_id range forces sup > 1 (multiple fine buckets per
+    superbucket, multiple docs per bucket, sparse empty buckets)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(125):
+        base = i * 1_000_000
+        for off in (0, 1100, 1101, 2200, 3300):
+            k = (base + off) % 13 + 1
+            rows.append((base + off, " ".join(["w"] * k)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+    # the derivation really is two-level for this id range
+    assert curation.shard_super_factor(
+        rows[-1][0] // curation.SHARD_BUCKET_DOCS + 1
+    ) > 1
+    out = (
+        curation.shard_packing(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = pdf.sort_values("doc_id").reset_index(drop=True)
+    exp["n_tokens"] = exp.text.str.split(" ").str.len()
+    cum = exp.n_tokens.cumsum()
+    want = ((cum - exp.n_tokens) // curation.SHARD_TOKENS).astype(int)
+    assert list(out.doc_id) == list(exp.doc_id)
+    assert list(out.n_tokens) == list(exp.n_tokens)
+    assert list(out.shard_id) == list(want)

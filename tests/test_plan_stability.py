@@ -171,16 +171,24 @@ def test_domain_cap_salted_bounded_sort(spark):
 
 
 def test_shard_packing_two_phase_cumsum_no_global_sort(spark):
-    """VERDICT r3 #1: the shard cumsum must never be a global orderBy
-    window (single-task total sort).  Freeze the two-phase shape: the big
-    cumsum window is PARTITIONED by the range bucket, the prefix offsets
-    ride exactly one broadcast non-equi self-join over the tiny totals
-    relation, and no Exchange SinglePartition appears anywhere."""
+    """VERDICT r3 #1 + r4 #1: the shard cumsum must never be a global
+    orderBy window (single-task total sort), and the prefix offsets must
+    never be quadratic in fine-bucket count.  Freeze the two-LEVEL shape:
+    the big cumsum window is PARTITIONED by the fine bucket, the
+    within-super prefix is a window PARTITIONED by superbucket (a window,
+    not a join), the single broadcast non-equi self-join runs over the
+    SUPER relation only (capped at SHARD_MAX_SUPERS rows by the
+    plan-build derivation — its condition references e_sbkt, never the
+    unbounded fine-bucket e_bkt), and no Exchange SinglePartition
+    appears anywhere."""
     plan = _executed_plan(E.queries()["shard_packing"](spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan, plan
     assert "windowspecdefinition(bkt" in plan, plan
+    assert "windowspecdefinition(sbkt" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "e_sbkt" in plan, plan
+    assert "e_bkt" not in plan, plan
 
 
 def test_c4_first_occurrence_is_map_side_combinable(spark):

@@ -104,6 +104,37 @@ def test_empty_append_yields_empty_changelog(spark, tdir):
     assert S.read_snapshot(spark, tdir).count() == 10
 
 
+def test_orphan_manifest_self_heals(spark, tdir):
+    """ADVICE r4: a committer that crashes BETWEEN the manifest CAS and
+    the version-hint swap leaves an orphan v(N+1) manifest with the hint
+    still at N.  The head must derive from the max committed manifest
+    (the CAS is the commit point), or every later commit re-targets
+    v(N+1), hits the CAS, and the table is wedged forever."""
+    import json
+    import os
+
+    pages = load_or_build_pages(spark, SF_DIR).select("url", "html").limit(10)
+    S.write_snapshot(pages, tdir)
+    v2 = S.append_snapshot(pages.limit(3), tdir)
+    assert v2 == 2
+    # simulate the crash: v3 manifest exists (CAS won), hint still says 2
+    m2 = S.read_manifest(tdir, 2)
+    m3 = dict(m2, version=3, parent_version=2, operation="append",
+              added_files=0, snapshot_id="deadbeef")
+    with open(S._manifest_path(tdir, 3), "w") as f:
+        json.dump(m3, f)
+    with open(S._hint_path(tdir) + ".tmp", "w") as f:
+        f.write("2")
+    os.replace(S._hint_path(tdir) + ".tmp", S._hint_path(tdir))
+    # head self-heals to the orphan commit; the next append advances
+    assert S.current_version(tdir) == 3
+    v4 = S.append_snapshot(pages.limit(2), tdir)
+    assert v4 == 4
+    assert S.read_manifest(tdir, 4)["parent_version"] == 3
+    # and a second append keeps advancing (no permanent wedge)
+    assert S.append_snapshot(pages.limit(1), tdir) == 5
+
+
 def test_concurrent_commit_loser_fails_not_overwrites(spark, tdir):
     """ADVICE r3: two writers racing to the same parent version must not
     both 'win' — the second manifest create fails (compare-and-swap), so
