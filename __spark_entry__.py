@@ -1107,7 +1107,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER is deliberate (VERDICT r4 #4): the driver harness
+    # boards only the first 50 entries per round, so each round rotates
+    # queries that have not yet had a driver-green row into positions
+    # 1-50.  Round 5 fronts TPC-H, ANN, media, and the table/PDF-geometry
+    # suite (driver-unchecked through r4); the r6 rotation should front
+    # the events/curation tail marked below.  The FULL board is always
+    # regenerated via scripts/full_gate.py into CORRECTNESS_SELF_r{N}.json.
     return {
+        # --- rotation r5: driver-unchecked through round 4 (50) ---
+        "tpch_q1": tpch.tpch_q1,
+        "tpch_q2": tpch.tpch_q2,
+        "tpch_q3": tpch.tpch_q3,
+        "tpch_q4": tpch.tpch_q4,
+        "tpch_q5": tpch.tpch_q5,
+        "tpch_q6": tpch.tpch_q6,
+        "tpch_q7": tpch.tpch_q7,
+        "tpch_q8": tpch.tpch_q8,
+        "tpch_q9": tpch.tpch_q9,
+        "tpch_q10": tpch.tpch_q10,
+        "tpch_q11": tpch.tpch_q11,
+        "tpch_q12": tpch.tpch_q12,
+        "tpch_q13": tpch.tpch_q13,
+        "tpch_q14": tpch.tpch_q14,
+        "tpch_q15": tpch.tpch_q15,
+        "tpch_q16": tpch.tpch_q16,
+        "tpch_q17": tpch.tpch_q17,
+        "tpch_q18": tpch.tpch_q18,
+        "tpch_q19": tpch.tpch_q19,
+        "tpch_q20": tpch.tpch_q20,
+        "tpch_q21": tpch.tpch_q21,
+        "tpch_q22": tpch.tpch_q22,
+        "tpch_q1_rollup": tpch.tpch_q1_rollup,
+        "dedup_embedding_cosine": ann.embedding_cosine_dups,
+        "dedup_embedding_lsh": ann.dedup_embedding_lsh,
+        "ann_bruteforce": ann.ann_bruteforce,
+        "ann_lsh": ann.ann_lsh,
+        "ann_ivf": ann.ann_ivf,
+        "ann_pq": ann.ann_pq,
+        "media_features": multimodal.media_features_q,
+        "media_pixel_stats": multimodal.media_pixel_stats_q,
+        "media_resize": multimodal.media_resize_q,
+        "media_frame_sample": multimodal.media_frame_sample_q,
+        "extract_tables_lattice": _q_extract_tables,
+        "extract_tables_text": _q_extract_tables_text,
+        "extract_tables_rowrects": _q_extract_tables_rowrects,
+        "extract_tables_text_relational": _q_extract_tables_text_relational,
+        "extract_tables_relational": _q_extract_tables_relational,
+        "pdf_curves": _q_pdf_curves,
+        "pdf_images": _q_pdf_images,
+        "pdf_annots": _q_pdf_annots,
+        "pdf_forms": _q_pdf_forms,
+        "edge_filter_funnel": _q_edge_filter_funnel,
+        "crop_filter": _q_crop_filter,
+        "y_inversion": _q_y_inversion,
+        "pdf_words": _q_pdf_words,
+        "pdf_metadata": _q_pdf_metadata,
+        "pdf_line_texts": _q_pdf_line_texts,
+        "word_bboxes": _q_word_bboxes,
+        "shard_packing": curation.shard_packing,
+        # --- rotation r6 candidates: still driver-unchecked (10) ---
+        "events_windowed_agg": _q_events_windowed,
+        "event_sessionize": _q_event_sessions,
+        "event_sessionize_stateful": _q_event_sessions_stateful,
+        "event_asof_join": synth_rel.asof_join_events,
+        "event_range_join": synth_rel.event_range_join,
+        "corpus_build": curation.corpus_build,
+        "curation_url_canonicalize": curation.url_canonicalize,
+        "curation_web_pipeline": curation.web_pipeline,
+        "crawl_host_windows": curation.crawl_host_windows_q,
+        "mixture_sample": curation.mixture_sample,
+        # --- driver-green in earlier rounds ---
         "extract_text_html": _q_extract_html,
         "extract_text_warc": _q_extract_text_warc,
         "extract_text_salted": _q_extract_salted,
@@ -1159,66 +1229,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pii_scrub": curation.pii_scrub,
         "curation_gopher_repetition": curation.gopher_repetition,
         "curation_scorecard": curation.curation_scorecard,
-        "corpus_build": curation.corpus_build,
-        "curation_url_canonicalize": curation.url_canonicalize,
-        "curation_web_pipeline": curation.web_pipeline,
-        "crawl_host_windows": curation.crawl_host_windows_q,
-        "mixture_sample": curation.mixture_sample,
-        "shard_packing": curation.shard_packing,
-        "dedup_embedding_cosine": ann.embedding_cosine_dups,
-        "dedup_embedding_lsh": ann.dedup_embedding_lsh,
-        "ann_bruteforce": ann.ann_bruteforce,
-        "ann_lsh": ann.ann_lsh,
-        "ann_ivf": ann.ann_ivf,
-        "ann_pq": ann.ann_pq,
-        "media_features": multimodal.media_features_q,
-        "media_pixel_stats": multimodal.media_pixel_stats_q,
-        "media_resize": multimodal.media_resize_q,
-        "media_frame_sample": multimodal.media_frame_sample_q,
-        "extract_tables_lattice": _q_extract_tables,
-        "extract_tables_text": _q_extract_tables_text,
-        "extract_tables_rowrects": _q_extract_tables_rowrects,
-        "pdf_curves": _q_pdf_curves,
-        "pdf_images": _q_pdf_images,
-        "pdf_annots": _q_pdf_annots,
-        "pdf_forms": _q_pdf_forms,
-        "edge_filter_funnel": _q_edge_filter_funnel,
-        "extract_tables_text_relational": _q_extract_tables_text_relational,
-        "extract_tables_relational": _q_extract_tables_relational,
-        "crop_filter": _q_crop_filter,
-        "y_inversion": _q_y_inversion,
-        "pdf_words": _q_pdf_words,
-        "pdf_metadata": _q_pdf_metadata,
-        "pdf_line_texts": _q_pdf_line_texts,
-        "word_bboxes": _q_word_bboxes,
-        "events_windowed_agg": _q_events_windowed,
-        "event_sessionize": _q_event_sessions,
-        "event_sessionize_stateful": _q_event_sessions_stateful,
-        "event_asof_join": synth_rel.asof_join_events,
-        "event_range_join": synth_rel.event_range_join,
-        "tpch_q1": tpch.tpch_q1,
-        "tpch_q3": tpch.tpch_q3,
-        "tpch_q5": tpch.tpch_q5,
-        "tpch_q6": tpch.tpch_q6,
-        "tpch_q18": tpch.tpch_q18,
-        "tpch_q14": tpch.tpch_q14,
-        "tpch_q4": tpch.tpch_q4,
-        "tpch_q22": tpch.tpch_q22,
-        "tpch_q1_rollup": tpch.tpch_q1_rollup,
-        "tpch_q13": tpch.tpch_q13,
-        "tpch_q17": tpch.tpch_q17,
-        "tpch_q21": tpch.tpch_q21,
-        "tpch_q7": tpch.tpch_q7,
-        "tpch_q8": tpch.tpch_q8,
-        "tpch_q9": tpch.tpch_q9,
-        "tpch_q10": tpch.tpch_q10,
-        "tpch_q15": tpch.tpch_q15,
-        "tpch_q19": tpch.tpch_q19,
-        "tpch_q20": tpch.tpch_q20,
-        "tpch_q2": tpch.tpch_q2,
-        "tpch_q11": tpch.tpch_q11,
-        "tpch_q12": tpch.tpch_q12,
-        "tpch_q16": tpch.tpch_q16,
     }
 
 

@@ -702,51 +702,65 @@ FROM comp
 
 # ------------------------------------------------------ bloom-filter probe --
 
-BLOOM_M = 1 << 16  # filter bits
-BLOOM_K = 4        # hash functions (md5 hex slices — engine-portable)
+#: target filter density — ~10 bits per existing key gives FP ≈ 1% at the
+#: optimal hash count; m/k derive from the corpus at plan-build time.
+BLOOM_BITS_PER_KEY = 10
+BLOOM_MAX_K = 16   # two 32-bit md5 slices drive ALL k via double hashing
 
 
-def _bloom_positions(col):
-    """K bit positions from non-overlapping 32-bit slices of md5(col) —
-    portable integer hashing both engines compute identically."""
+def bloom_params(n_keys: int) -> tuple[int, int]:
+    """(m bits, k hashes) derived from corpus size at plan-build time
+    (VERDICT r4 #3 — were fixture constants 2^16/4, which saturate at
+    ~10^4 keys and would pass everything at corpus scale).
+
+    m = next power of two ≥ BLOOM_BITS_PER_KEY·n (floor 2^10), so the
+    modulo is cheap and the bit relation stays ~n rows; k = the analytic
+    optimum ln2·m/n, rounded half-up (floor(x+0.5) — NOT Python round(),
+    whose banker's rounding differs from the SQL restatement), clamped
+    to [1, 16].  The IDENTICAL derivation is stated in the oracle SQL
+    (POWER/CEIL/LOG2/FLOOR over count(*)), so both engines size the same
+    filter from the same corpus.  Analytic FP bound at these params:
+    (1 - e^(-k·n/m))^k ≈ 0.8–1.2%% for any n."""
+    import math
+
+    n = max(n_keys, 1)
+    m = 1 << max(10, math.ceil(math.log2(BLOOM_BITS_PER_KEY * n)))
+    k = int(min(BLOOM_MAX_K, max(1, math.floor(math.log(2) * m / n + 0.5))))
+    return m, k
+
+
+def _bloom_positions(col, m: int, k: int):
+    """k bit positions via Kirsch–Mitzenmacher double hashing over two
+    non-overlapping 32-bit slices of md5(col): pos_i = (h1 + i·h2) mod m
+    with h2 forced odd (coprime to the power-of-two m, so the k probes
+    never collapse onto a short cycle).  Portable integer arithmetic both
+    engines compute identically: h1 + 15·h2 < 2^37 fits a long, all
+    operands non-negative so %% agrees across engines."""
+    h1 = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    h2 = (
+        F.conv(F.substring(F.md5(col), 9, 8), 16, 10)
+        .cast("long")
+        .bitwiseOR(F.lit(1))
+    )
     return F.array_distinct(
-        F.array(
-            *[
-                F.conv(
-                    F.substring(F.md5(col), 1 + 8 * i, 8), 16, 10
-                ).cast("long")
-                % BLOOM_M
-                for i in range(BLOOM_K)
-            ]
-        )
+        F.array(*[((h1 + F.lit(i) * h2) % m) for i in range(k)])
     )
 
 
-def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate-membership incremental dedup: probe a NEW batch
-    against a Bloom filter of the existing corpus — the standard way a
-    rolling crawl rejects already-seen content without joining the whole
-    corpus (state is M bits, not N documents).
-
-    The filter is materialized as the distinct set-bit relation (<= M
-    rows, broadcast — semantically identical to the bitmap an executor
-    would hold); a batch doc "might exist" iff ALL its positions are
-    set.  Exact re-crawls always hit (same text, same positions); edited
-    near-dups mostly miss, and any false positive is DETERMINISTIC
-    because both engines compute identical md5-slice positions, so the
-    oracle restates the whole construction bit-for-bit."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id", "text"
-    )
+def bloom_probe(corpus: DataFrame, batch: DataFrame, m: int, k: int) -> DataFrame:
+    """Probe batch(doc_id, text) against a Bloom filter built from
+    corpus(text): (doc_id, n_hits, might_exist).  The filter is
+    materialized as the distinct set-bit relation (≤ m rows, broadcast —
+    semantically identical to the bitmap an executor would hold); a doc
+    "might exist" iff ALL its positions are set."""
     corpus_bits = (
-        docs.select(F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+        corpus.select(F.explode(_bloom_positions(F.col("text"), m, k)).alias("pos"))
         .distinct()
     )
-    batch = dup_corpus(spark, sf_dir).where(F.col("doc_id") >= DUP_OFFSET)
     probe = batch.select(
         "doc_id",
-        F.size(_bloom_positions(F.col("text"))).alias("n_pos"),
-        F.explode(_bloom_positions(F.col("text"))).alias("pos"),
+        F.size(_bloom_positions(F.col("text"), m, k)).alias("n_pos"),
+        F.explode(_bloom_positions(F.col("text"), m, k)).alias("pos"),
     )
     hits = (
         probe.join(F.broadcast(corpus_bits), "pos")
@@ -766,20 +780,58 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-membership incremental dedup: probe a NEW batch
+    against a Bloom filter of the existing corpus — the standard way a
+    rolling crawl rejects already-seen content without joining the whole
+    corpus (state is m bits, sized ~10 bits per existing key by
+    ``bloom_params`` at plan-build, not a fixture constant).
+
+    Exact re-crawls always hit (same text, same positions); edited
+    near-dups mostly miss, and any false positive is DETERMINISTIC
+    because both engines compute identical double-hashed positions from
+    identical derived (m, k), so the oracle restates the whole
+    construction — including the parameter derivation — bit-for-bit."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    m, k = bloom_params(docs.count())
+    batch = dup_corpus(spark, sf_dir).where(F.col("doc_id") >= DUP_OFFSET)
+    return bloom_probe(docs, batch, m, k)
+
+
 def dedup_bloom_incremental_oracle() -> str:
-    pos_list = ", ".join(
-        f"(('0x' || substr(md5(text), {1 + 8 * i}, 8))::BIGINT % {BLOOM_M})"
-        for i in range(BLOOM_K)
+    # the SAME (m, k) derivation as bloom_params, stated in SQL over the
+    # same corpus: m = 2^max(10, ceil(log2(10n))), k = clamp(floor(ln2·m/n
+    # + 0.5), 1, 16); positions = Kirsch–Mitzenmacher (h1 + i·h2) mod m
+    m_sql = (
+        f"CAST(POWER(2, GREATEST(10, CEIL(LOG2({BLOOM_BITS_PER_KEY}"
+        " * COUNT(*))))) AS BIGINT)"
+    )
+    hx = (
+        "('0x' || substr(md5(text), 1, 8))::BIGINT AS h1,"
+        " (('0x' || substr(md5(text), 9, 8))::BIGINT | 1) AS h2"
+    )
+    pos_list = (
+        "list_distinct(list_transform(generate_series(0, CAST(k - 1 AS"
+        " BIGINT)), i -> (h1 + i * h2) % m))"
     )
     return f"""
 WITH {corpus_sql().strip()},
-bits AS (
-  SELECT DISTINCT unnest(list_distinct([{pos_list}])) AS pos
+params AS (
+  SELECT {m_sql} AS m,
+         CAST(LEAST({BLOOM_MAX_K}, GREATEST(1,
+           FLOOR(0.6931471805599453 * {m_sql} / COUNT(*) + 0.5)))
+         AS BIGINT) AS k
   FROM documents
 ),
+bits AS (
+  SELECT DISTINCT unnest({pos_list}) AS pos
+  FROM (SELECT {hx} FROM documents), params
+),
 batch AS (
-  SELECT doc_id, list_distinct([{pos_list}]) AS ps
-  FROM corpus WHERE doc_id >= {DUP_OFFSET}
+  SELECT doc_id, {pos_list} AS ps
+  FROM (SELECT doc_id, {hx} FROM corpus WHERE doc_id >= {DUP_OFFSET}), params
 ),
 probe AS (
   SELECT doc_id, len(ps) AS n_pos, unnest(ps) AS pos FROM batch

@@ -392,6 +392,12 @@ GROUP BY pred_lang, ROUND(quality, 1)
 
 # ------------------------------------------------------------- fluency ----
 
+#: cap on the broadcast hot-n-gram relation: keys with freq > total/2^16
+#: number at most 2^16 by counting, so the hot side is ALWAYS
+#: broadcastable no matter how skewed the corpus.
+FLUENCY_MAX_HOT_KEYS = 1 << 16
+
+
 def text_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency fluency scoring — the integer-exact stand-in for
     an n-gram LM perplexity pass (real log-prob sums are float
@@ -401,9 +407,23 @@ def text_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape is exactly a batch KenLM scorer's: (1) the "model" = global
     bigram counts, one map-side-combinable groupBy; (2) scoring = the
-    doc's bigrams equi-joined to the model keyed by n-gram (the model
-    side is NOT broadcast — at web scale the n-gram table is itself
-    huge), then a per-doc combinable mean."""
+    doc's bigrams equi-joined to the model keyed by n-gram, then a
+    per-doc combinable mean.
+
+    Skew handling (VERDICT r4 #5): hot stop-bigrams ("of the") would be
+    hot shuffle keys in the model join, and AQE's skew split cannot fire
+    here — the model side is an aggregation output, not a re-readable
+    shuffle stage, so OptimizeSkewedJoin has nothing to split.  The
+    production remedy is a HOT/COLD MODEL SPLIT with a threshold derived
+    from corpus stats at plan-build (the df_cap/lsh_params pattern):
+    keys with freq > total/2^16 (at most 2^16 of them, by counting — a
+    guaranteed-broadcastable ≤~2 MB relation) join via broadcast, so hot
+    occurrences never shuffle by bigram at all; the long tail joins via
+    shuffle where every key carries ≤ total/2^16 occurrences (≤0.005%%
+    of the data — no task can be hot).  The two paths partition the key
+    space, so their union is byte-identical to the single join and the
+    oracle states the plain unsplit form.  A production run persists the
+    model relation (two consumers) via ``plans.cache.persist``."""
     from pyspark.sql import functions as F
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -420,8 +440,16 @@ def text_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     bigrams = d.select("doc_id", F.explode(bigram_arr).alias("bigram"))
     model = bigrams.groupBy("bigram").agg(F.count("*").alias("freq"))
+    total = bigrams.count()
+    hot_thresh = max(2, total // FLUENCY_MAX_HOT_KEYS)
+    scored_hot = bigrams.join(
+        F.broadcast(model.where(F.col("freq") > hot_thresh)), "bigram"
+    )
+    scored_cold = bigrams.join(
+        model.where(F.col("freq") <= hot_thresh), "bigram"
+    )
     scored = (
-        bigrams.join(model, "bigram")
+        scored_hot.unionByName(scored_cold)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

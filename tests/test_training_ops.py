@@ -422,3 +422,35 @@ def test_bloom_probe_semantics(spark):
     assert len(near) > 0
     # near-dups have different text; most must miss at this fill factor
     assert near.might_exist.mean() < 0.5
+
+
+def test_bloom_derived_params_bound_false_positives(spark):
+    """VERDICT r4 #3: (m, k) must derive from corpus size — the old
+    2^16-bit fixture constant saturates at ~10^4 keys.  On a corpus 10x
+    beyond that old nominal capacity, the measured FP rate on disjoint
+    probe keys must stay within the analytic bound (1 - e^(-kn/m))^k,
+    while the old fixed params are demonstrably saturated."""
+    import math
+
+    from pdfplumber_golang_spark.functions import dedup as D
+
+    n = 50_000
+    corpus = spark.range(n).select(
+        F.concat(F.lit("corpus-"), F.col("id")).alias("text")
+    )
+    batch = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unseen-"), F.col("id")).alias("text"),
+    )
+    m, k = D.bloom_params(n)
+    assert m >= D.BLOOM_BITS_PER_KEY * n          # ~10 bits/key minimum
+    assert 1 <= k <= D.BLOOM_MAX_K
+    bound = (1 - math.exp(-k * n / m)) ** k
+    assert bound < 0.02                           # derivation keeps FP ~1%
+    out = D.bloom_probe(corpus, batch, m, k).toPandas()
+    fp = out.might_exist.mean()
+    assert fp <= 2.5 * bound + 0.002, (fp, bound)
+    # the r4 fixture constants saturate at this corpus size: near-certain
+    # false positives — the failure mode the derivation exists to prevent
+    old = D.bloom_probe(corpus, batch, 1 << 16, 4).toPandas()
+    assert old.might_exist.mean() > 0.7
