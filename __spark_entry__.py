@@ -1177,6 +1177,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_web_pipeline": curation.web_pipeline,
         "crawl_host_windows": curation.crawl_host_windows_q,
         "mixture_sample": curation.mixture_sample,
+        # --- new in r5 (also r6-rotation candidates) ---
+        "dedup_substring_winnowed": dedup.substring_pairs_winnowed,
+        "ann_ivfpq": ann.ann_ivfpq,
         # --- driver-green in earlier rounds ---
         "extract_text_html": _q_extract_html,
         "extract_text_warc": _q_extract_text_warc,
@@ -1415,6 +1418,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "dedup_components": dedup.dedup_components_oracle(),
         "dedup_canonical": dedup.dedup_canonical_oracle(),
         "dedup_substring": dedup.substring_pairs_oracle(),
+        "dedup_substring_winnowed": dedup.substring_pairs_winnowed_oracle(),
         "dedup_incremental": dedup.dedup_incremental_oracle(),
         "dedup_bloom_incremental": dedup.dedup_bloom_incremental_oracle(),
         "text_langid": text_analysis.lang_id_oracle(),
@@ -1444,6 +1448,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "ann_lsh": ann.ann_lsh_oracle(),
         "ann_ivf": ann.ann_ivf_oracle(),
         "ann_pq": ann.ann_pq_oracle(),
+        "ann_ivfpq": ann.ann_ivfpq_oracle(),
         "media_features": multimodal.media_features_oracle(),
         "media_pixel_stats": multimodal.media_pixel_stats_oracle(),
         "media_resize": multimodal.media_resize_oracle(),

@@ -17,6 +17,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans import cache
+
 N_QUERIES = 5   # vec_id < N_QUERIES are the query set
 TOP_K = 10
 LSH_PLANES = 8  # random-hyperplane signature bits
@@ -821,5 +823,304 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY adist ASC, vec_id ASC) AS rk
   FROM adist
+) WHERE rk <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------- IVF-PQ ---
+
+IVFPQ_NPROBE = 3   # coarse cells probed per query (one more than ann_ivf:
+#                    PQ's shortlist noise costs a little cell coverage back)
+IVFPQ_RERANK = 80  # ADC shortlist size handed to the exact re-rank; at these
+#                  settings fixture recall@10 vs brute force = 0.88, equal to
+#                  the exact-scoring ann_ivf's cell-coverage ceiling
+
+
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (Jégou et al. 2011, §IV) — the production
+    100-TB ANN layout: a coarse IVF quantizer partitions the database
+    into cells, vectors are PQ-encoded on their RESIDUAL (v - cell
+    centroid), and a query scores only its IVFPQ_NPROBE probed cells via
+    per-cell asymmetric-distance tables built from the QUERY residual
+    against the shared residual codebooks.
+
+    Everything stays in the fixed-point integer domain (coarse training
+    identical to ``ann_ivf``; residuals are integer differences; per-
+    subspace Lloyd rounds identical to ``ann_pq`` but over residuals),
+    so every codebook, code, and ADC sum is exact and hash-checkable
+    against the unrolled SQL restatement.
+
+    Scale shape: the inverted lists ARE the final_assign relation (a
+    narrow (vec_id, cid) long pair — at 10^12 vectors this is the only
+    database-sized relation, and it carries M small codes, not the
+    vectors); codebooks are PQ_M x PQ_K rows and the per-query ADC table
+    is N_QUERIES x nprobe x PQ_M x PQ_K rows — both always broadcast;
+    scoring is one equi-join of codes against the broadcast ADC keyed by
+    (cell, subspace, code) + a combinable per-(query, vector) sum.  The
+    probed-cell inner join prunes every unprobed cell BEFORE the ADC
+    join — the candidate set is nprobe/K of the database, which is the
+    point of the composition."""
+    emb = _emb(spark, sf_dir)
+    vecs = _int_vecs(emb)
+    # coarse quantizer — identical deterministic training to ann_ivf
+    cents = vecs.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("vi").alias("ci")
+    )
+    for _ in range(IVF_ITERS):
+        assign = _assign(vecs, cents)
+        cents = _update(vecs, assign, cents)
+    # persist the two database-sized intermediates: final_assign and the
+    # residuals each feed MANY consumers (every subspace's Lloyd rounds
+    # re-derive them otherwise, re-running the whole coarse k-means chain
+    # per subspace — a plan-depth blowup, not just wasted IO)
+    final_assign = cache.persist(_assign(vecs, cents))
+    # integer residuals vs the assigned coarse centroid
+    resid = cache.persist(
+        vecs.join(final_assign, "vec_id")
+        .join(F.broadcast(cents), "cid")
+        .select(
+            "vec_id",
+            F.zip_with("vi", "ci", lambda x, y: x - y).alias("vi"),
+        )
+    )
+    # queries probe their nearest coarse cells; the query residual is
+    # taken against EACH probed cell's centroid
+    qd = _sqdist(F.col("vi"), F.col("ci"))
+    qprobe = (
+        vecs.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents))
+        .select("vec_id", "cid", "vi", "ci", qd.alias("dist"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "cid")
+            ),
+        )
+        .where(F.col("rk") <= IVFPQ_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            F.zip_with("vi", "ci", lambda x, y: x - y).alias("qres"),
+        )
+    )
+    codes_parts, adc_parts = [], []
+    for m in range(1, PQ_M + 1):
+        sub = _sub_vecs(resid, m)
+        cb = sub.where(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").cast("int").alias("cid"), F.col("vi").alias("ci")
+        )
+        for _ in range(PQ_ITERS):
+            a = _assign(sub, cb)
+            cb = _update(sub, a, cb)
+        # tiny (PQ_K rows) but with a deep lineage; two consumers below
+        cb = cache.persist(cb)
+        codes_parts.append(
+            _assign(sub, cb).select(
+                "vec_id", F.lit(m).alias("m"), F.col("cid").alias("code")
+            )
+        )
+        qsub = qprobe.select(
+            "query_id",
+            "cid",
+            F.slice("qres", (m - 1) * PQ_SUB + 1, PQ_SUB).alias("vi"),
+        )
+        ad = _sqdist(F.col("vi"), F.col("ci"))
+        adc_parts.append(
+            qsub.join(F.broadcast(cb.select(F.col("cid").alias("code"), "ci")))
+            .select("query_id", "cid", F.lit(m).alias("m"), "code", ad.alias("d"))
+        )
+    codes = codes_parts[0]
+    for p in codes_parts[1:]:
+        codes = codes.unionByName(p)
+    adc = adc_parts[0]
+    for p in adc_parts[1:]:
+        adc = adc.unionByName(p)
+    adist = (
+        codes.where(F.col("vec_id") >= N_QUERIES)
+        .join(final_assign, "vec_id")
+        .join(F.broadcast(adc), ["cid", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    # ADC shortlist, then EXACT cosine re-rank of the top IVFPQ_RERANK —
+    # the standard two-stage emit (quantization error only decides the
+    # shortlist, never the final order); exact math touches RERANK rows
+    # per query, not the database
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    short = (
+        adist.withColumn("rk_adc", F.row_number().over(wa))
+        .where(F.col("rk_adc") <= IVFPQ_RERANK)
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    qv = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cand_id").cast("long").alias("neighbor_id"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+def ann_ivfpq_oracle() -> str:
+    """Coarse IVF training + residual PQ + per-cell query ADC, unrolled
+    as SQL CTEs — the ann_ivf and ann_pq oracles composed."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(v.vi)),"
+        " d -> (v.vi[d] - c.ci[d]) * (v.vi[d] - c.ci[d])))"
+    )
+
+    def assign(vtab: str, ctab: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rk
+    FROM {vtab} v, {ctab} c
+  ) WHERE rk = 1
+)"""
+
+    def update(vtab: str, atab: str, prev: str, out: str, dim: int) -> str:
+        return f"""
+{out}_sums AS (
+  SELECT a.cid, d,
+         CAST(FLOOR(SUM(v.vi[d])::DOUBLE / COUNT(*)) AS BIGINT) AS c
+  FROM {atab} a JOIN {vtab} v USING (vec_id),
+       (SELECT unnest(generate_series(1, {dim})) AS d)
+  GROUP BY a.cid, d
+),
+{out} AS (
+  SELECT p.cid,
+         CASE WHEN COUNT(s.c) = 0 THEN p.ci
+              ELSE list(s.c ORDER BY s.d) END AS ci
+  FROM {prev} p LEFT JOIN {out}_sums s ON s.cid = p.cid
+  GROUP BY p.cid, p.ci
+)"""
+
+    parts = []
+    # coarse training: identical to the ann_ivf oracle
+    prev = "cents0"
+    for it in range(1, IVF_ITERS + 1):
+        parts.append("," + assign("vecs", prev, f"assign{it}"))
+        parts.append("," + update("vecs", f"assign{it}", prev, f"cents{it}", EMB_DIM))
+        prev = f"cents{it}"
+    parts.append("," + assign("vecs", prev, "final_assign"))
+    parts.append(f""",
+resid AS (
+  SELECT v.vec_id,
+         list_transform(generate_series(1, {EMB_DIM}),
+                        d -> v.vi[d] - c.ci[d]) AS vi
+  FROM vecs v JOIN final_assign f USING (vec_id)
+  JOIN {prev} c ON c.cid = f.cid
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cid, qres FROM (
+    SELECT v.vec_id, c.cid,
+           list_transform(generate_series(1, {EMB_DIM}),
+                          d -> v.vi[d] - c.ci[d]) AS qres,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rk
+    FROM vecs v, {prev} c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE rk <= {IVFPQ_NPROBE}
+)""")
+    for m in range(1, PQ_M + 1):
+        off = (m - 1) * PQ_SUB
+        parts.append(f""",
+rsv{m} AS (
+  SELECT vec_id,
+         list_transform(generate_series({off + 1}, {off + PQ_SUB}),
+                        d -> vi[d]) AS vi
+  FROM resid
+),
+rc{m}_0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, vi AS ci
+  FROM rsv{m} WHERE vec_id < {PQ_K}
+)""")
+        prevm = f"rc{m}_0"
+        for it in range(1, PQ_ITERS + 1):
+            parts.append("," + assign(f"rsv{m}", prevm, f"ra{m}_{it}"))
+            parts.append(
+                "," + update(f"rsv{m}", f"ra{m}_{it}", prevm, f"rc{m}_{it}", PQ_SUB)
+            )
+            prevm = f"rc{m}_{it}"
+        parts.append("," + assign(f"rsv{m}", prevm, f"rcode{m}"))
+        parts.append(f""",
+adc{m} AS (
+  SELECT q.query_id, q.cid, {m} AS m, c.cid AS code,
+         list_sum(list_transform(generate_series(1, {PQ_SUB}),
+           d -> (q.qres[{off} + d] - c.ci[d]) * (q.qres[{off} + d] - c.ci[d])))
+           AS d
+  FROM qprobe q, {prevm} c
+)""")
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, cid AS code FROM rcode{m}"
+        for m in range(1, PQ_M + 1)
+    )
+    adc_union = " UNION ALL ".join(
+        f"SELECT * FROM adc{m}" for m in range(1, PQ_M + 1)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+vecs AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(ROUND(x * {IVF_SCALE}) AS BIGINT)) AS vi
+  FROM emb
+),
+cents0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, vi AS ci FROM vecs WHERE vec_id < {IVF_K}
+){"".join(parts)},
+codes AS ({codes_union}),
+adc AS ({adc_union}),
+adist AS (
+  SELECT a.query_id, c.vec_id, SUM(a.d) AS adist
+  FROM codes c
+  JOIN final_assign f USING (vec_id)
+  JOIN adc a ON a.cid = f.cid AND a.m = c.m AND a.code = c.code
+  WHERE c.vec_id >= {N_QUERIES}
+  GROUP BY a.query_id, c.vec_id
+),
+short AS (
+  SELECT query_id, vec_id AS cand_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist ASC, vec_id ASC) AS rk_adc
+    FROM adist
+  ) WHERE rk_adc <= {IVFPQ_RERANK}
+),
+scored AS (
+  SELECT s.query_id, s.cand_id,
+         list_sum(list_transform(generate_series(1, len(eq.v)), i -> eq.v[i] * ec.v[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(eq.v)), i -> eq.v[i] * eq.v[i])))
+          * sqrt(list_sum(list_transform(generate_series(1, len(ec.v)), i -> ec.v[i] * ec.v[i])))) AS cos
+  FROM short s
+  JOIN emb eq ON eq.vec_id = s.query_id
+  JOIN emb ec ON ec.vec_id = s.cand_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rk AS BIGINT) AS rank,
+       CAST(cand_id AS BIGINT) AS neighbor_id,
+       ROUND(cos, 4) AS cosine
+FROM (
+  SELECT query_id, cand_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id ASC) AS rk
+  FROM scored
 ) WHERE rk <= {TOP_K}
 """

@@ -47,6 +47,7 @@ FROZEN = [
     "curation_scorecard",
     "curation_domain_cap_salted",
     "dedup_substring",
+    "dedup_substring_winnowed",
     "dedup_canonical",
     "media_resize",
     "media_frame_sample",
@@ -86,6 +87,22 @@ def test_ann_ivf_products_are_centroid_broadcasts_only(spark):
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
     # 3 assign iterations + final assign + query probe + scan = bounded
     assert 0 < n_bnlj <= 8, plan
+    assert plan.count("IdentityBroadcastMode") >= n_bnlj, plan
+
+
+def test_ann_ivfpq_products_are_broadcast_only(spark):
+    """ann_ivfpq composes ann_ivf's coarse quantizer with residual PQ:
+    its only nested-loop joins are vector x tiny-relation broadcasts
+    (K-row coarse centroids, PQ_K-row codebooks, the per-query ADC
+    table), never a shuffled product; the database-sized relations flow
+    through equi-joins alone."""
+    plan = _executed_plan(E.queries()["ann_ivfpq"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    # the printed plan inlines reused subtrees, so the textual BNLJ count
+    # is lineage depth, not cost — the invariant is that EVERY nested
+    # loop builds a broadcast (tiny side), never a shuffled product
+    assert n_bnlj > 0, plan
     assert plan.count("IdentityBroadcastMode") >= n_bnlj, plan
 
 

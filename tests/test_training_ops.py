@@ -454,3 +454,52 @@ def test_bloom_derived_params_bound_false_positives(spark):
     # false positives — the failure mode the derivation exists to prevent
     old = D.bloom_probe(corpus, batch, 1 << 16, 4).toPandas()
     assert old.might_exist.mean() > 0.7
+
+
+def test_substring_winnowed_recall_vs_exact(spark):
+    """VERDICT r4 #2: the winnowed (mod-p sampled) substring path must
+    recover ≥0.9 of the exact baseline's duplicate pairs on the fixture
+    corpus, with structural precision 1.0 (sampling selects by gram
+    VALUE, so every winnowed pair shares a real k-gram and the df cap
+    sees the same document frequencies — the pair set is a subset)."""
+    from pdfplumber_golang_spark.functions import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    exact = D.substring_pairs(spark, sf).toPandas()
+    win = D.substring_pairs_winnowed(spark, sf).toPandas()
+    e = set(zip(exact.doc_a, exact.doc_b))
+    w = set(zip(win.doc_a, win.doc_b))
+    assert len(e) > 0
+    assert w <= e                       # precision 1.0 by construction
+    recall = len(w & e) / len(e)
+    assert recall >= 0.9, recall
+    # the sampled gram volume really is ~p× smaller than stride-1
+    n = D.dup_corpus(spark, sf).count()
+    p = D.substr_sample_period(n)
+    assert p >= 4
+    assert win.n_shared_sampled.sum() < exact.n_shared.sum() / (p / 2)
+
+
+def test_ann_ivfpq_recall_vs_bruteforce(spark):
+    """VERDICT r4 #6: the IVF-PQ composition (coarse cells + residual PQ
+    + ADC shortlist + exact re-rank) must recover most of the exact
+    top-10 — and never beat the cell-coverage ceiling of probing alone.
+    Everything is integer-deterministic, so the measured recall is a
+    constant of the fixture, not a flaky sample."""
+    from pdfplumber_golang_spark.functions import ann as A
+
+    sf = "/root/testdata/sf0.001"
+    bf = A.ann_bruteforce(spark, sf).toPandas()
+    iv = A.ann_ivfpq(spark, sf).toPandas()
+    bfs = {q: set(g.neighbor_id) for q, g in bf.groupby("query_id")}
+    ivs = {q: set(g.neighbor_id) for q, g in iv.groupby("query_id")}
+    assert set(ivs) == set(bfs)                  # every query answered
+    assert (iv.groupby("query_id").size() == A.TOP_K).all()
+    recalls = [len(bfs[q] & ivs[q]) / len(bfs[q]) for q in bfs]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # re-ranked scores are EXACT cosines: every reported (query, neighbor)
+    # pair present in brute force must carry the identical rounded score
+    merged = iv.merge(
+        bf, on=["query_id", "neighbor_id"], suffixes=("_pq", "_bf")
+    )
+    assert (merged.cosine_pq == merged.cosine_bf).all()
