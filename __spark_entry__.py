@@ -299,6 +299,54 @@ def _q_event_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema="click_id long, view_id long, user_id long")
 
 
+def _q_event_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT-outer interval join under the oracle gate: the
+    unmatched-click class the inner form drops.  The replay ends with
+    two punctuation (barrier) files so the AvailableNow drain actually
+    acts on its final watermark (see streaming.join.write_join_barriers
+    for the three traps); barriers use negative users and never reach
+    the output, so the drained result must equal the plain batch LEFT
+    JOIN the oracle states — including every NULL-view click.  view_id
+    is COALESCEd to -1 on both engines (a NULL long becomes float64 NaN
+    in pandas on one engine and nullable Int64 on the other depending on
+    version — -1 keeps the hash comparison in integer space)."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from pdfplumber_golang_spark.streaming.join import (
+        stream_interval_join_left,
+        write_join_barriers,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    root = tempfile.mkdtemp(prefix="sjoinl_q_")
+    try:
+        in_dir = os.path.join(root, "in")
+        ev.repartition(8).write.parquet(in_dir)
+        maxts = ev.agg(F.max("ts")).collect()[0][0]
+        write_join_barriers(spark, in_dir, maxts, watermark_days=45)
+        q = stream_interval_join_left(
+            spark, in_dir, os.path.join(root, "out"), os.path.join(root, "ckpt")
+        )
+        q.awaitTermination(600)
+        out = spark.read.schema(
+            "click_id long, view_id long, user_id long"
+        ).parquet(os.path.join(root, "out"))
+        pdf = out.select(
+            "click_id",
+            F.coalesce("view_id", F.lit(-1)).alias("view_id"),
+            "user_id",
+            F.col("view_id").isNotNull().alias("matched"),
+        ).toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        schema="click_id long, view_id long, user_id long, matched boolean",
+    )
+
+
 def _q_extract_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming extraction under the hash gate: the pages
     table written as many parquet files, drained by streaming/ingest.
@@ -1180,6 +1228,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 (also r6-rotation candidates) ---
         "dedup_substring_winnowed": dedup.substring_pairs_winnowed,
         "ann_ivfpq": ann.ann_ivfpq,
+        "event_stream_join_left": _q_event_stream_join_left,
         # --- driver-green in earlier rounds ---
         "extract_text_html": _q_extract_html,
         "extract_text_warc": _q_extract_text_warc,
@@ -1264,6 +1313,17 @@ FROM events c JOIN events v
   ON c.event_type = 'click' AND v.event_type = 'view'
  AND c.user_id = v.user_id
  AND v.ts >= c.ts - INTERVAL 6 HOUR AND v.ts <= c.ts
+""",
+        "event_stream_join_left": """
+SELECT CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(COALESCE(v.event_id, -1) AS BIGINT) AS view_id,
+       CAST(c.user_id AS BIGINT) AS user_id,
+       v.event_id IS NOT NULL AS matched
+FROM events c LEFT JOIN events v
+  ON v.event_type = 'view'
+ AND c.user_id = v.user_id
+ AND v.ts >= c.ts - INTERVAL 6 HOUR AND v.ts <= c.ts
+WHERE c.event_type = 'click'
 """,
         "event_stream_enrich": """
 SELECT CAST(e.event_id AS BIGINT) AS event_id,

@@ -219,3 +219,53 @@ def test_stream_enrich_matches_batch(spark, tmp_path):
     ).select("event_id", "user_id", "event_type", "segment")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_stream_left_interval_join_emits_unmatched(spark, tmp_path):
+    """VERDICT r4 #7: the LEFT-outer interval join must emit every
+    unmatched click with a NULL view once the watermark passes its
+    horizon — and the punctuation (barrier) rows that make an
+    AvailableNow drain act on its final watermark must never leak into
+    the output.  The drained result equals the batch LEFT JOIN exactly."""
+    from pyspark.sql import functions as F
+
+    from pdfplumber_golang_spark.streaming.join import (
+        stream_interval_join_left,
+        write_join_barriers,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    in_dir = str(tmp_path / "in")
+    ev.repartition(8).write.parquet(in_dir)
+    maxts = ev.agg(F.max("ts")).collect()[0][0]
+    write_join_barriers(spark, in_dir, maxts, watermark_days=45)
+    q = stream_interval_join_left(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    got = spark.read.schema(
+        "click_id long, view_id long, user_id long"
+    ).parquet(str(tmp_path / "out"))
+    c = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    v = ev.where("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    want = c.join(
+        v,
+        (F.col("cu") == F.col("vu"))
+        & (F.col("vts") >= F.expr("cts - interval 6 hours"))
+        & (F.col("vts") <= F.col("cts")),
+        "left",
+    ).select("click_id", "view_id", F.col("cu").alias("user_id"))
+    assert got.where("user_id < 0").count() == 0     # no barrier leakage
+    assert got.where("view_id IS NULL").count() > 0  # outer rows really emit
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
