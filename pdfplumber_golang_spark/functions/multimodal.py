@@ -21,6 +21,7 @@ DuckDB oracle state expected type, dimensions, and byte count in plain SQL
 
 from __future__ import annotations
 
+import math
 import os
 import struct
 import zlib
@@ -172,15 +173,212 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, bpp, bytes(out)
 
 
+class _HuffTable:
+    """Canonical JPEG Huffman table: (length, code) -> symbol."""
+
+    def __init__(self, counts, symbols):
+        self.lookup = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing (spec B.1.1.5); a marker byte ends the scan."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                else:
+                    raise ValueError("marker inside entropy data")
+            self.bits = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude value (spec F.2.2.1)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+_IDCT_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_IDCT_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _idct_block(coef: list) -> list:
+    """8x8 inverse DCT (spec A.3.3), separable rows-then-columns."""
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for r in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                c = coef[r * 8 + u]
+                if c:
+                    s += _IDCT_C[u] * c * _IDCT_COS[x][u]
+            tmp[r][x] = s / 2
+    out = [0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                t = tmp[v][x]
+                if t:
+                    s += _IDCT_C[v] * t * _IDCT_COS[y][v]
+            px = round(s / 2) + 128
+            out[y * 8 + x] = 0 if px < 0 else (255 if px > 255 else px)
+    return out
+
+
+def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline-DCT grayscale JPEG decoder, stdlib-only (closes the r4
+    ``NotImplementedError`` hook): marker walk -> DQT/DHT/SOF0/SOS ->
+    Huffman-decoded scan (DC prediction + AC run-length, 0xFF00
+    unstuffing) -> dequantize in zigzag order -> 8x8 inverse DCT ->
+    level shift + clamp -> crop the MCU grid to (w, h).  Returns
+    (width, height, 1, row-major samples) like decode_png_pixels.
+
+    Scope is honest baseline sequential, single component: progressive
+    (SOF2), multi-component color, and restart intervals raise
+    ValueError — the fixture encoder and the PDF DCTDecode payloads this
+    engine produces are all within scope."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    quant: dict[int, list] = {}
+    huff: dict[tuple, _HuffTable] = {}
+    w = h = None
+    pos = 2
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[tid] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1 : i + 17])
+                n = sum(counts)
+                syms = list(body[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = _HuffTable(counts, syms)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0: baseline
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if ncomp != 1:
+                raise ValueError("only single-component (grayscale) JPEG")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported for 1 component")
+            qtab_id = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if w is None:
+                raise ValueError("SOS before SOF0")
+            dc_id = body[2] >> 4
+            ac_id = body[2] & 0x0F
+            reader = _BitReader(data, pos + 2 + seglen)
+            q = quant[qtab_id]
+            dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            out = bytearray(w * h)
+            pred = 0
+            for bi in range(bw * bh):
+                t = reader.decode(dc_tab)
+                diff = _extend(reader.read_bits(t), t) if t else 0
+                pred += diff
+                coef = [0] * 64
+                coef[0] = pred * q[0]
+                k = 1
+                while k < 64:
+                    rs = reader.decode(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    zr, zc = _ZIGZAG[k]
+                    coef[zr * 8 + zc] = _extend(reader.read_bits(s), s) * q[k]
+                    k += 1
+                px = _idct_block(coef)
+                by, bx = divmod(bi, bw)
+                for yy in range(min(8, h - by * 8)):
+                    row = (by * 8 + yy) * w + bx * 8
+                    for xx in range(min(8, w - bx * 8)):
+                        out[row + xx] = px[yy * 8 + xx]
+            return w, h, 1, bytes(out)
+        pos += 2 + seglen
+    raise ValueError("no SOS marker")
+
+
 def decode_pixels(data: bytes) -> tuple[int, int, int, bytes]:
-    """Pixel-level decode: PNG is decoded for real with the stdlib (zlib
-    inflate + scanline unfilter above); JPEG/GIF entropy decode genuinely
-    needs an image library absent from this container and stays a hook."""
+    """Pixel-level decode: PNG for real with the stdlib (zlib inflate +
+    scanline unfilter above), JPEG for real with the baseline-DCT
+    decoder (Huffman + dequant + IDCT — the r4 hook, now closed).  The
+    GIF fixture carries no raster at all (header + trailer only), so
+    anything else is a data error, not a missing codec."""
     if data[:8] == _PNG_SIG:
         return decode_png_pixels(data)
-    raise NotImplementedError(
-        "pixel codec beyond PNG not available in this container"
-    )
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(data)
+    raise ValueError("payload carries no decodable raster")
 
 
 # ---------------------------------------------------------------------------
@@ -281,20 +479,101 @@ def gif_bytes(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"
 
 
+# Standard JPEG Annex K luminance Huffman tables (ITU-T T.81, public
+# spec): (code-length counts for lengths 1..16, symbol list).
+_DC_COUNTS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_SYMBOLS = tuple(range(12))
+_AC_COUNTS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_SYMBOLS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+#: zigzag index -> (row, col) of the 8x8 block, spec Figure A.6
+_ZIGZAG = []
+_r = _c = 0
+for _i in range(64):
+    _ZIGZAG.append((_r, _c))
+    if (_r + _c) % 2 == 0:  # moving up-right
+        if _c == 7:
+            _r += 1
+        elif _r == 0:
+            _c += 1
+        else:
+            _r -= 1
+            _c += 1
+    else:  # moving down-left
+        if _r == 7:
+            _c += 1
+        elif _c == 0:
+            _r += 1
+        else:
+            _r += 1
+            _c -= 1
+del _r, _c, _i
+
+_JPEG_QUANT_DC = 8   # q[0] = 8 makes the constant-block DC roundtrip exact
+_JPEG_QUANT_AC = 16  # arbitrary legal value (fixture ACs are all zero)
+
+
+def _dht_segment(table_class: int, counts, symbols) -> bytes:
+    payload = bytes([table_class]) + bytes(counts) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
 def jpeg_bytes(width: int, height: int) -> bytes:
-    """SOI + APP0/JFIF + SOF0(1 component) + EOI: always 33 bytes."""
+    """COMPLETE baseline-DCT grayscale JPEG (was a 33-byte header-only
+    shell through r4): DQT + SOF0 + the standard Annex K Huffman tables
+    + a real entropy-coded scan.
+
+    The image is constant 8x8 blocks alternating 129/128 in MCU scan
+    order, which makes every byte closed-form: a constant block has ONLY
+    a DC coefficient (8*(v-128)), and with q[0] = 8 it quantizes to
+    v-128 exactly, so DC differences alternate +1/-1 — category 1, whose
+    standard code is 3 bits + 1 value bit — and each block's scan
+    contribution is exactly 010v + EOB(1010) = 8 bits = one byte (0x5A
+    or 0x4A, so no 0xFF stuffing can occur).  Total length is therefore
+    328 + ceil(w/8)*ceil(h/8) and decoded pixel (x, y) is
+    129 if ((y//8)*ceil(w/8) + x//8) even else 128 — both stated by the
+    oracles in closed form, while the decoder still runs the full
+    Huffman + dequant + IDCT path."""
     app0 = b"\xff\xe0" + struct.pack(">H", 14) + b"JFIF\x00" + bytes(
         (1, 1, 0, 0, 1, 0, 1)
     )
+    quant = bytes([_JPEG_QUANT_DC] + [_JPEG_QUANT_AC] * 63)  # zigzag order
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + quant
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + bytes(
         (1, 0x11, 0)
     )
-    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    dht = _dht_segment(0x00, _DC_COUNTS, _DC_SYMBOLS) + _dht_segment(
+        0x10, _AC_COUNTS, _AC_SYMBOLS
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes((1, 1, 0x00, 0, 63, 0))
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    # block i: DC diff +1 (0x5A) for even i, -1 (0x4A) for odd i
+    scan = bytes(0x5A if i % 2 == 0 else 0x4A for i in range(bw * bh))
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
 
 
 PNG_N_BYTES = "68 + (1 + doc_id % 48) * (2 + doc_id % 64)"
 GIF_N_BYTES = "14"
-JPEG_N_BYTES = "33"
+JPEG_N_BYTES = (
+    "328 + ((1 + doc_id % 64 + 7) // 8) * ((1 + doc_id % 48 + 7) // 8)"
+)
 
 
 def build_media(doc_id: int) -> bytes:
@@ -377,20 +656,25 @@ PIXEL_SCHEMA = T.StructType(
 
 
 def media_pixel_stats(media: DataFrame) -> DataFrame:
-    """Per-image pixel statistics from the REAL PNG decode: one pruned
-    (url, data) projection into one Arrow mapInPandas stage — the same
-    scan-aligned shape as media_features, now over decoded samples.
-    Non-PNG rows are skipped (their entropy decode is the documented
-    hook); sum/min/max are exact integers, mean rounds at 4 dp."""
+    """Per-image pixel statistics from REAL decodes — PNG (inflate +
+    unfilter) AND baseline JPEG (Huffman + dequant + IDCT, the r4 hook
+    now closed): one pruned (url, data) projection into one Arrow
+    mapInPandas stage — the same scan-aligned shape as media_features,
+    now over decoded samples.  Raster-less rows (the GIF fixture is
+    header + trailer only) are skipped; sum/min/max are exact integers,
+    mean rounds at 4 dp."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {k: [] for k in PIXEL_SCHEMA.fieldNames()}
             for url, data in zip(pdf["url"], pdf["data"]):
                 raw = bytes(data)
-                if raw[:8] != _PNG_SIG:
+                if raw[:8] == _PNG_SIG:
+                    _w, _h, _bpp, px = decode_png_pixels(raw)
+                elif raw[:2] == b"\xff\xd8":
+                    _w, _h, _bpp, px = decode_jpeg_pixels(raw)
+                else:
                     continue
-                _w, _h, _bpp, px = decode_png_pixels(raw)
                 out["url"].append(url)
                 out["n_pixels"].append(len(px))
                 out["px_sum"].append(sum(px))
@@ -407,21 +691,26 @@ def media_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_pixel_stats_oracle() -> str:
-    """Closed-form pixel stats: the PNG fixture's pixel (x, y) is
-    (x*7 + y) % 256 with w = 1+doc_id%64, h = 1+doc_id%48 — the oracle
-    recomputes every sample value independently of any PNG machinery, so
-    a wrong unfilter (the scanlines are filtered with type y%5) breaks
-    the hash."""
+    """Closed-form pixel stats for BOTH decoded formats, stated
+    independently of any codec machinery: the PNG fixture's pixel (x, y)
+    is (x*7 + y) % 256 (a wrong unfilter of the y%5-filtered scanlines
+    breaks the hash), and the JPEG fixture's pixel is 129/128 by the
+    parity of its 8x8 block's MCU scan index (a wrong Huffman decode, DC
+    prediction, dequant, or IDCT of the real entropy-coded scan breaks
+    the hash)."""
     return f"""
 WITH d AS (
   SELECT doc_id, {spec.SQL_URL} AS url,
          1 + doc_id % {_W_MOD} AS w, 1 + doc_id % {_H_MOD} AS h
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents WHERE doc_id % 3 IN (0, 2)
 ),
 xs AS (SELECT unnest(generate_series(0, {_W_MOD - 1})) AS x),
 ys AS (SELECT unnest(generate_series(0, {_H_MOD - 1})) AS y),
 px AS (
-  SELECT d.url, (x * 7 + y) % 256 AS p
+  SELECT d.url,
+         CASE WHEN doc_id % 3 = 0 THEN (x * 7 + y) % 256
+              WHEN ((y // 8) * ((d.w + 7) // 8) + (x // 8)) % 2 = 0 THEN 129
+              ELSE 128 END AS p
   FROM d, xs, ys WHERE x < d.w AND y < d.h
 )
 SELECT url,

@@ -75,7 +75,8 @@ def test_media_features_real_header_parse(spark):
     assert set(out["media_type"]) == {"image/png", "image/gif", "image/jpeg"}
     assert out["width"].between(1, 64).all()
     assert out["height"].between(1, 48).all()
-    with pytest.raises(NotImplementedError):
+    # r5: non-raster payloads are a data error (the codec hooks are gone)
+    with pytest.raises(ValueError):
         multimodal.decode_pixels(b"x")
 
 
@@ -89,7 +90,10 @@ def test_parse_image_hand_built_bytes():
     # closed-form lengths the oracle relies on
     assert len(mm.png_bytes(10, 5)) == 68 + 5 * 11
     assert len(mm.gif_bytes(3, 3)) == 14
-    assert len(mm.jpeg_bytes(3, 3)) == 33
+    # r5: jpeg_bytes is a COMPLETE baseline JPEG; 328 header+EOI bytes
+    # plus exactly one entropy byte per 8x8 block (the oracle's formula)
+    assert len(mm.jpeg_bytes(3, 3)) == 328 + 1
+    assert len(mm.jpeg_bytes(9, 17)) == 328 + 2 * 3
     # PNG decodes with the real zlib (stored-block stream is valid)
     import struct
     import zlib
@@ -222,10 +226,94 @@ def test_decode_pixels_dispatch():
 
     w, h, bpp, px = mm.decode_pixels(mm.png_bytes(3, 2))
     assert (w, h, bpp) == (3, 2, 1) and len(px) == 6
-    with pytest.raises(NotImplementedError):
-        mm.decode_pixels(mm.jpeg_bytes(3, 2))
+    # r5: JPEG dispatches to the real baseline decoder (hook closed)
+    w, h, bpp, px = mm.decode_pixels(mm.jpeg_bytes(3, 2))
+    assert (w, h, bpp) == (3, 2, 1) and px == bytes([129] * 6)
+    # the GIF fixture carries no raster: data error, not a missing codec
+    with pytest.raises(ValueError):
+        mm.decode_pixels(mm.gif_bytes(3, 2))
     with pytest.raises(ValueError):
         mm.decode_png_pixels(b"\x89PNG\r\n\x1a\njunk")
+
+
+def test_jpeg_baseline_decoder_roundtrip_and_ac_path():
+    """VERDICT r4 #8: the stdlib baseline-DCT JPEG decoder.  (1) The
+    fixture encoder's constant 8x8 blocks roundtrip EXACTLY (DC quant
+    step 8 makes the math integer); (2) a hand-built scan with a real AC
+    coefficient exercises Huffman AC decode, zigzag, dequant and the
+    cosine IDCT, checked against the closed-form basis function; (3)
+    scoped failures raise ValueError, never garbage."""
+    import math
+
+    import pytest as _pytest
+
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    # (1) exact roundtrip incl. edge-cropped MCU grids
+    for w, h in [(1, 1), (8, 8), (9, 8), (17, 23), (64, 48)]:
+        W, H, bpp, px = mm.decode_jpeg_pixels(mm.jpeg_bytes(w, h))
+        assert (W, H, bpp) == (w, h, 1)
+        bw = (w + 7) // 8
+        assert px == bytes(
+            129 if ((y // 8) * bw + x // 8) % 2 == 0 else 128
+            for y in range(h)
+            for x in range(w)
+        )
+
+    # (2) single 8x8 block with DC=0 and one AC coefficient at zigzag
+    # index 1 (= frequency (u,v)=(1,0)): build the scan by hand with the
+    # standard tables' canonical codes
+    def canonical_codes(counts, symbols):
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                codes[symbols[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    dc = canonical_codes(list(mm._DC_COUNTS), list(mm._DC_SYMBOLS))
+    ac = canonical_codes(list(mm._AC_COUNTS), list(mm._AC_SYMBOLS))
+    bits = []
+
+    def put(length, code):
+        bits.extend((code >> (length - 1 - i)) & 1 for i in range(length))
+
+    put(*dc[0])                      # DC category 0: diff = 0
+    put(*ac[0x12])                   # AC run=1, size=2 -> lands at k=2?
+    # run=1 skips zigzag k=1, so the coefficient lands at k=2 = (u,v)=(0,1)
+    put(2, 0b11)                     # value bits: size-2 magnitude 3
+    put(*ac[0x00])                   # EOB
+    while len(bits) % 8:
+        bits.append(1)
+    scan = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    full = mm.jpeg_bytes(8, 8)
+    base_scan_len = 1                # one block in the 8x8 fixture
+    jpg = full[: -2 - base_scan_len] + scan + b"\xff\xd9"
+    W, H, bpp, px = mm.decode_jpeg_pixels(jpg)
+    # zigzag k=2 is (row 1, col 0) -> (u, v) = (0, 1): the IDCT basis is
+    # f(x, y) = (1/4) C(0) C(1) F cos((2y+1)pi/16) with C(0) = 1/sqrt(2),
+    # F = 3 * q_ac — constant in x, a cosine ramp in y
+    for y in range(8):
+        want = round(
+            (1 / 4)
+            * (3 * mm._JPEG_QUANT_AC)
+            * math.cos((2 * y + 1) * math.pi / 16)
+            / math.sqrt(2)
+        ) + 128
+        want = max(0, min(255, want))
+        for x in range(8):
+            assert px[y * 8 + x] == want, (x, y, px[y * 8 + x], want)
+
+    # (3) scoped failures
+    with _pytest.raises(ValueError):
+        mm.decode_jpeg_pixels(b"\xff\xd8\xff\xc2" + b"\x00\x0b" + bytes(9))
+    with _pytest.raises(ValueError):
+        mm.decode_jpeg_pixels(b"not a jpeg")
 
 
 def test_lsh_params_bucket_bounds_at_scale():
