@@ -112,6 +112,9 @@ def main() -> None:
         "tpch_q5",
         "shard_packing",
         "curation_pii_scrub",
+        # r5: the sampled substring scale path — its wall time vs
+        # dedup_ngram_jaccard's shows the mod-p shuffle cut directly
+        "dedup_substring_winnowed",
     ):
         timed(name, lambda: qs[name](spark, SF_DIR).count())
 
