@@ -112,8 +112,11 @@ def main() -> None:
         "tpch_q5",
         "shard_packing",
         "curation_pii_scrub",
-        # r5: the sampled substring scale path — its wall time vs
-        # dedup_ngram_jaccard's shows the mod-p shuffle cut directly
+        # r5: the exact substring baseline and its mod-p sampled scale
+        # path, benched as a pair — the winnowed wall-time win is the
+        # visible part of a ~p x shuffle-volume cut (11.1 s vs 6.9 s at
+        # sf0.1/32 cores in the r5 quiet-window measurement)
+        "dedup_substring",
         "dedup_substring_winnowed",
     ):
         timed(name, lambda: qs[name](spark, SF_DIR).count())
