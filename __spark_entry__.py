@@ -1229,6 +1229,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_winnowed": dedup.substring_pairs_winnowed,
         "ann_ivfpq": ann.ann_ivfpq,
         "event_stream_join_left": _q_event_stream_join_left,
+        "bpe_train": text_analysis.bpe_train,
+        "bpe_tokenize": text_analysis.bpe_tokenize,
         # --- driver-green in earlier rounds ---
         "extract_text_html": _q_extract_html,
         "extract_text_warc": _q_extract_text_warc,
@@ -1489,6 +1491,8 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "text_fingerprint_rolling": text_analysis.fingerprint_rolling_oracle(),
         "corpus_curation": text_analysis.corpus_curation_oracle(),
         "text_fluency": text_analysis.text_fluency_oracle(),
+        "bpe_train": text_analysis.bpe_train_oracle(),
+        "bpe_tokenize": text_analysis.bpe_tokenize_oracle(),
         "curation_gopher": curation.gopher_quality_oracle(),
         "curation_c4_line_dedup": curation.c4_line_dedup_oracle(),
         "curation_domain_cap": curation.domain_cap_oracle(),

@@ -497,3 +497,211 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
+
+
+# ----------------------------------------------------------------- BPE ----
+
+BPE_MERGES = 6       # learned merge rounds (unrolled in the oracle SQL)
+_BPE_SEP = "\x1f"    # unit separator — never appears in corpus text
+
+
+def _bpe_merge_expr(syms_col, left: str, right: str):
+    """Greedy left-to-right non-overlapping merge of the (left, right)
+    symbol pair, as ONE fold over the symbol array: the accumulator is a
+    SEP-prefixed string, and each step either extends the last symbol
+    (when it equals `left` and the incoming symbol is `right`) or
+    appends.  A merged symbol can never chain-trigger another merge in
+    the same pass (left+right != left because right is non-empty) — the
+    same greedy semantics as reference BPE implementations.  The
+    IDENTICAL fold runs in DuckDB via list_reduce with a prepended ''
+    init (DuckDB folds start from the first list element)."""
+    acc = F.aggregate(
+        syms_col,
+        F.lit(""),
+        lambda acc, x: F.when(
+            acc.endswith(_BPE_SEP + left) & (x == F.lit(right)),
+            F.concat(
+                F.substring(acc, F.lit(1), F.length(acc) - len(left)),
+                F.lit(left + right),
+            ),
+        ).otherwise(F.concat(acc, F.lit(_BPE_SEP), x)),
+    )
+    return F.split(F.substring(acc, F.lit(2), F.length(acc)), _BPE_SEP)
+
+
+def _bpe_word_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, syms) — the word histogram that BPE training runs
+    on.  ONE combinable pass over the corpus (explode → groupBy word);
+    every later round touches only this vocab-sized relation, which is
+    why BPE training scales: at web scale the vocabulary grows ~
+    polylog-of-corpus (Heaps' law), not with the corpus."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return words.withColumn("syms", F.split("word", ""))
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run BPE_MERGES training rounds; returns (merges, final_seqs):
+    merges = [(rank, left, right, pair_freq)], final_seqs = the word
+    relation with all merges applied.
+
+    Per round: adjacent-pair counts are a map-side-combinable explode +
+    groupBy over the VOCAB relation (weighted by word freq); the argmax
+    pair (ties: freq DESC, left ASC, right ASC — total order, so both
+    engines pick the same pair) comes to the driver as ONE row (the
+    lsh_params/shard_packing plan-build-action pattern); the merge is a
+    JVM fold over the symbol arrays.  Each round's seqs are persisted —
+    vocab-sized, and it keeps the fold lineage one round deep."""
+    from ..plans import cache
+
+    seqs = cache.persist(_bpe_word_seqs(spark, sf_dir))
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = (
+            seqs.select(
+                "freq",
+                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
+                    "i", "l"
+                ),
+                "syms",
+            )
+            .select(
+                "freq", "l",
+                F.element_at("syms", F.col("i") + 2).alias("r"),
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("freq").alias("f"))
+        )
+        top = pairs.orderBy(F.desc("f"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top:
+            break
+        a, b, f = top[0]["l"], top[0]["r"], int(top[0]["f"])
+        merges.append((rank, a, b, f))
+        seqs = cache.persist(
+            seqs.withColumn("syms", _bpe_merge_expr(F.col("syms"), a, b))
+        )
+    return merges, seqs
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING as a distributed program
+    (Sennrich et al. 2016): BPE_MERGES rounds of weighted adjacent-pair
+    counting over the corpus word histogram, each round merging the
+    globally most frequent pair.  Output = the learned merge table
+    (rank, left, right, pair_freq) — the artifact a tokenizer ships.
+
+    The oracle restates ALL rounds unrolled in SQL: the same histogram,
+    the same argmax total order, and the identical greedy fold via
+    DuckDB list_reduce, so the two engines must learn byte-identical
+    merge tables."""
+    merges, _ = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, pair_freq long"
+    ).select(
+        F.col("merge_rank").cast("long").alias("merge_rank"),
+        "left", "right",
+        F.col("pair_freq").cast("long").alias("pair_freq"),
+    )
+
+
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges back to the corpus: per document, the
+    whitespace token count and the BPE symbol count (what a training
+    pipeline budgets shards and context windows with).  Tokenization is
+    one equi-join of the doc->word explosion against the final vocab
+    relation — per-word work happened ONCE at training, not per
+    occurrence."""
+    merges, seqs = _bpe_learn(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    occ = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    tok = seqs.select("word", F.size("syms").alias("n_sym"))
+    return (
+        occ.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_oracle_rounds() -> str:
+    """The BPE_MERGES training rounds unrolled as SQL CTEs (the k-means
+    oracle pattern): p{r} = weighted pair counts over s{r-1}, m{r} = the
+    argmax pair under the total order, s{r} = the greedy fold applied."""
+    fold = (
+        "string_split(substr(list_reduce(list_prepend('', syms),"
+        " (acc, x) -> CASE WHEN acc = '' THEN chr(31) || x"
+        " WHEN ends_with(acc, chr(31) || m.l) AND x = m.r"
+        " THEN substr(acc, 1, length(acc) - length(m.l)) || m.l || m.r"
+        " ELSE acc || chr(31) || x END), 2), chr(31))"
+    )
+    parts = []
+    for r in range(1, BPE_MERGES + 1):
+        prev = f"s{r - 1}"
+        parts.append(f""",
+p{r} AS (
+  SELECT l, r, SUM(freq) AS f FROM (
+    SELECT freq, syms[i] AS l, syms[i + 1] AS r
+    FROM (SELECT freq, syms,
+                 unnest(generate_series(1, len(syms) - 1)) AS i
+          FROM {prev})
+  ) GROUP BY l, r
+),
+m{r} AS (SELECT l, r, f FROM p{r} ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+s{r} AS (
+  SELECT word, freq, {fold} AS syms
+  FROM {prev}, m{r} m
+)""")
+    return "".join(parts)
+
+
+def _bpe_oracle_prefix() -> str:
+    return f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM words)
+{_bpe_oracle_rounds()}"""
+
+
+def bpe_train_oracle() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, l, r AS rght, f FROM m{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return f"""{_bpe_oracle_prefix()}
+SELECT CAST(merge_rank AS BIGINT) AS merge_rank, l AS left,
+       rght AS right, CAST(f AS BIGINT) AS pair_freq
+FROM ({unions})
+"""
+
+
+def bpe_tokenize_oracle() -> str:
+    return f"""{_bpe_oracle_prefix()},
+occ AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+tok AS (SELECT word, len(syms) AS n_sym FROM s{BPE_MERGES})
+SELECT CAST(o.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(t.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM occ o JOIN tok t USING (word)
+GROUP BY o.doc_id
+"""

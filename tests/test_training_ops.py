@@ -591,3 +591,68 @@ def test_ann_ivfpq_recall_vs_bruteforce(spark):
         bf, on=["query_id", "neighbor_id"], suffixes=("_pq", "_bf")
     )
     assert (merged.cosine_pq == merged.cosine_bf).all()
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """r5: BPE training (Sennrich et al. 2016) as a distributed program
+    must learn the EXACT merge table a classic in-memory implementation
+    learns on the same corpus — pair counts weighted by word frequency,
+    greedy left-to-right merge application, (freq DESC, left, right)
+    tie-break — and tokenization must account every word occurrence."""
+    import pandas as pd
+
+    from pdfplumber_golang_spark.functions import text_analysis as TA
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+
+    # classic reference BPE, third implementation (no Spark, no SQL)
+    freqs = {}
+    for t in docs.text:
+        for w in t.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    seqs = {w: list(w) for w in freqs}
+
+    def merge(seq, a, b):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    want = []
+    for rank in range(1, TA.BPE_MERGES + 1):
+        counts = {}
+        for w, f in freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        (a, b), f = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, a, b, f))
+        seqs = {w: merge(s, a, b) for w, s in seqs.items()}
+
+    got = (
+        TA.bpe_train(spark, sf)
+        .toPandas()
+        .sort_values("merge_rank")
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+    tok = TA.bpe_tokenize(spark, sf).toPandas().set_index("doc_id")
+    # every doc's BPE count equals summing the reference final seqs
+    for doc_id, text in zip(docs.doc_id[:25], docs.text[:25]):
+        words = [w for w in text.split(" ") if w]
+        assert tok.loc[doc_id, "n_ws_tokens"] == len(words)
+        assert tok.loc[doc_id, "n_bpe_tokens"] == sum(
+            len(seqs[w]) for w in words
+        )
+    # merging only ever shrinks: bpe count between word count and chars
+    assert (tok.n_bpe_tokens >= tok.n_ws_tokens).all()
