@@ -566,6 +566,13 @@ def _decode_filter(name: str, data: bytes) -> bytes:
         return _rle_decode(data)
     if name in ("LZWDecode", "LZW"):
         return _lzw_decode(data)
+    if name in ("DCTDecode", "DCT"):
+        # image-XObject JPEG payloads (PDF 32000-1 §7.4.8): decode to raw
+        # grayscale samples with the stdlib baseline decoder (r5 — the
+        # reference's filter table names DCTDecode but never decodes it)
+        from ..functions.multimodal import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(data)[3]
     # unknown filter: pass through (reference behavior for unsupported)
     return data
 

@@ -179,3 +179,16 @@ def test_filter_chain_with_rl_and_lzw():
         raw.append((acc << (8 - nbits)) & 0xFF)
     assert _decode_filter("LZWDecode", bytes(raw)) == b"A"
     assert _decode_filter("LZW", bytes(raw)) == b"A"
+
+
+def test_dctdecode_filter_decodes_jpeg_samples():
+    """r5: DCTDecode (PDF 32000-1 §7.4.8) routes image-XObject JPEG
+    payloads through the stdlib baseline decoder — the reference's
+    filter table names the filter but never decodes it."""
+    from pdfplumber_golang_spark.functions import multimodal as mm
+    from pdfplumber_golang_spark.kernel.pdfparse import _decode_filter
+
+    out = _decode_filter("DCTDecode", mm.jpeg_bytes(8, 8))
+    assert out == bytes([129] * 64)
+    out = _decode_filter("DCT", mm.jpeg_bytes(9, 8))
+    assert len(out) == 72  # cropped to 9x8 from the two-block MCU row
