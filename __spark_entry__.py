@@ -1230,6 +1230,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": ann.ann_ivfpq,
         "event_stream_join_left": _q_event_stream_join_left,
         "bpe_train": text_analysis.bpe_train,
+        "text_quality_classifier": text_analysis.quality_classifier,
         "bpe_tokenize": text_analysis.bpe_tokenize,
         # --- driver-green in earlier rounds ---
         "extract_text_html": _q_extract_html,
@@ -1492,6 +1493,7 @@ FROM chars_rel GROUP BY url, col_x HAVING COUNT(*) >= 3
         "corpus_curation": text_analysis.corpus_curation_oracle(),
         "text_fluency": text_analysis.text_fluency_oracle(),
         "bpe_train": text_analysis.bpe_train_oracle(),
+        "text_quality_classifier": text_analysis.quality_classifier_oracle(),
         "bpe_tokenize": text_analysis.bpe_tokenize_oracle(),
         "curation_gopher": curation.gopher_quality_oracle(),
         "curation_c4_line_dedup": curation.c4_line_dedup_oracle(),

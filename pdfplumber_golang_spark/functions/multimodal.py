@@ -811,8 +811,10 @@ def media_resize(media: DataFrame) -> DataFrame:
     (x*w // THUMB_W, y*h // THUMB_H), re-encodes the thumbnail through
     encode_gray_png, and emits stats computed from a DECODE OF THE
     RE-ENCODED bytes — so a green oracle row certifies
-    decode→resize→encode→decode end to end.  Non-PNG rows skip (their
-    entropy decode is the documented hook)."""
+    decode→resize→encode→decode end to end.  r5: JPEG rows resize too
+    (decoded by the baseline-DCT decoder, thumbnailed into PNG — the
+    transcode every real thumbnail service performs); only raster-less
+    rows (the header-only GIF fixture) skip."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -820,9 +822,12 @@ def media_resize(media: DataFrame) -> DataFrame:
                    ("url", "thumb_w", "thumb_h", "t_sum", "t_min", "t_max")}
             for url, data in zip(pdf["url"], pdf["data"]):
                 raw = bytes(data)
-                if raw[:8] != _PNG_SIG:
+                if raw[:8] == _PNG_SIG:
+                    w, h, _bpp, px = decode_png_pixels(raw)
+                elif raw[:2] == b"\xff\xd8":
+                    w, h, _bpp, px = decode_jpeg_pixels(raw)
+                else:
                     continue
-                w, h, _bpp, px = decode_png_pixels(raw)
                 thumb = bytes(
                     px[(y * h // THUMB_H) * w + (x * w // THUMB_W)]
                     for y in range(THUMB_H)
@@ -848,18 +853,25 @@ def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_resize_oracle() -> str:
-    """Closed form: thumb pixel (x, y) = ((x*w//TW)*7 + (y*h//TH)) % 256
-    for the (x*7+y)%256 fixture — stated independently of any PNG code."""
+    """Closed form for both decodable fixtures: the PNG thumb pixel is
+    ((x*w//TW)*7 + (y*h//TH)) % 256 and the JPEG thumb pixel is 129/128
+    by the source pixel's 8x8-block MCU parity — stated independently of
+    any codec code."""
     return f"""
 WITH d AS (
   SELECT doc_id, {spec.SQL_URL} AS url,
          1 + doc_id % {_W_MOD} AS w, 1 + doc_id % {_H_MOD} AS h
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents WHERE doc_id % 3 IN (0, 2)
 ),
 xs AS (SELECT unnest(generate_series(0, {THUMB_W - 1})) AS x),
 ys AS (SELECT unnest(generate_series(0, {THUMB_H - 1})) AS y),
 px AS (
-  SELECT d.url, ((x * d.w // {THUMB_W}) * 7 + (y * d.h // {THUMB_H})) % 256 AS p
+  SELECT d.url,
+         CASE WHEN doc_id % 3 = 0
+              THEN ((x * d.w // {THUMB_W}) * 7 + (y * d.h // {THUMB_H})) % 256
+              WHEN (((y * d.h // {THUMB_H}) // 8) * ((d.w + 7) // 8)
+                    + ((x * d.w // {THUMB_W}) // 8)) % 2 = 0 THEN 129
+              ELSE 128 END AS p
   FROM d, xs, ys
 )
 SELECT url,

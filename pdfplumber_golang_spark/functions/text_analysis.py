@@ -705,3 +705,86 @@ SELECT CAST(o.doc_id AS BIGINT) AS doc_id,
 FROM occ o JOIN tok t USING (word)
 GROUP BY o.doc_id
 """
+
+
+# ------------------------------------------------- quality classifier ----
+
+#: fixed linear-model weights (a fasttext/logistic quality filter
+#: stand-in — the shapes are what matter; real deployments load learned
+#: weights the same way): stopword ratio, alpha ratio, length saturation,
+#: duplicate-word fraction, mean word length / 10.
+QC_WEIGHTS = (2.0, 1.5, 1.0, -2.5, 0.5)
+QC_BIAS = -1.0
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filtering — the classifier stage (fasttext /
+    logistic-regression style) that sits beside the rule-based Gopher
+    pass in a production pipeline: five document features, a fixed
+    linear model, a squashed score, a keep decision.
+
+    The squashing function is the RATIONAL sigmoid 0.5*(1 + m/(1+|m|)),
+    not exp-based logistic: IEEE division is bit-deterministic across
+    engines while libm exp() is not guaranteed to be, so the score can
+    be hash-compared at 4 dp without a tolerance.  Every feature and the
+    dot product evaluate in the same written order on both engines.  All
+    JVM expressions, map-side at any scale — the classifier itself is a
+    projection."""
+    docs = _docs(spark, sf_dir)
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_arr = F.array(*[F.lit(x) for x in all_sw])
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(sw_arr, x)))
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_chars = F.length("text")
+    x1 = n_stop / n_words
+    x2 = n_alpha / n_chars
+    x3 = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    x4 = 1.0 - F.size(F.array_distinct(words)) / n_words
+    x5 = (n_chars - (n_words - 1)) / n_words / F.lit(10.0)
+    w1, w2, w3, w4, w5 = QC_WEIGHTS
+    m = (
+        F.lit(w1) * x1 + F.lit(w2) * x2 + F.lit(w3) * x3
+        + F.lit(w4) * x4 + F.lit(w5) * x5 + F.lit(QC_BIAS)
+    )
+    score = 0.5 * (1.0 + m / (1.0 + F.abs(m)))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(m, 4).alias("margin"),
+        F.round(score, 4).alias("score"),
+        (m >= 0).alias("keep"),
+    )
+
+
+def quality_classifier_oracle() -> str:
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_list = "[" + ", ".join(f"'{x}'" for x in all_sw) + "]"
+    w1, w2, w3, w4, w5 = QC_WEIGHTS
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains({sw_list}, x)))::DOUBLE
+           / len(string_split(text, ' ')) AS x1,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+           / length(text) AS x2,
+         LEAST(len(string_split(text, ' ')) / 100.0, 1.0) AS x3,
+         1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS x4,
+         (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+           / len(string_split(text, ' ')) / 10.0 AS x5
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         {w1} * x1 + {w2} * x2 + {w3} * x3 + {w4} * x4 + {w5} * x5
+           + {QC_BIAS} AS m
+  FROM f
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(m, 4) AS margin,
+       ROUND(0.5 * (1.0 + m / (1.0 + ABS(m))), 4) AS score,
+       m >= 0 AS keep
+FROM m
+"""

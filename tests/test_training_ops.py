@@ -656,3 +656,33 @@ def test_bpe_train_matches_reference_implementation(spark):
         )
     # merging only ever shrinks: bpe count between word count and chars
     assert (tok.n_bpe_tokens >= tok.n_ws_tokens).all()
+
+
+def test_quality_classifier_discriminates(spark, tmp_path):
+    """r5: the linear quality model must separate fluent prose from
+    repetitive junk, and the rational-sigmoid score must be a monotone
+    map of the margin with keep <=> margin >= 0."""
+    import pandas as pd
+
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "the cat sat on a mat and it is a fine day in the sun "
+                "with a long tale of the old town and the sea",
+                "buy buy buy buy buy buy buy buy buy buy buy buy",
+            ],
+            "lang": ["en", "en"],
+        }
+    ).to_parquet(p)
+    out = (
+        text_analysis.quality_classifier(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "score"] > out.loc[1, "score"]
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[1, "keep"])
+    assert ((out.score >= 0.5) == (out.margin >= 0)).all()
+    assert out.score.between(0, 1).all()
