@@ -276,7 +276,18 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     Scope is honest baseline sequential, single component: progressive
     (SOF2), multi-component color, and restart intervals raise
     ValueError — the fixture encoder and the PDF DCTDecode payloads this
-    engine produces are all within scope."""
+    engine produces are all within scope.  Truncated or corrupt input
+    raises ValueError too (never IndexError/struct.error leaking from
+    the bit reader — pinned by a truncation sweep pytest)."""
+    try:
+        return _decode_jpeg_pixels(data)
+    except (IndexError, KeyError, struct.error) as e:
+        # KeyError = the scan references a quant/Huffman table id that was
+        # never defined — a corrupt stream, same class as truncation
+        raise ValueError(f"truncated or corrupt JPEG: {e}") from e
+
+
+def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     quant: dict[int, list] = {}

@@ -686,3 +686,24 @@ def test_quality_classifier_discriminates(spark, tmp_path):
     assert not bool(out.loc[1, "keep"])
     assert ((out.score >= 0.5) == (out.margin >= 0)).all()
     assert out.score.between(0, 1).all()
+
+
+def test_jpeg_decoder_truncation_raises_valueerror_only():
+    """r5 robustness: every truncation/corruption of a valid JPEG either
+    decodes (prefix still complete enough) or raises ValueError — no
+    IndexError/struct.error leaks from the marker walk or bit reader."""
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    full = mm.jpeg_bytes(17, 23)
+    for cut in range(len(full)):
+        try:
+            mm.decode_jpeg_pixels(full[:cut])
+        except ValueError:
+            pass
+    # corrupt single bytes across the header too
+    for pos in range(2, 60):
+        mutated = full[:pos] + bytes([full[pos] ^ 0xFF]) + full[pos + 1 :]
+        try:
+            mm.decode_jpeg_pixels(mutated)
+        except ValueError:
+            pass
