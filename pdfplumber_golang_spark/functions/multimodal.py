@@ -5,12 +5,12 @@ binary)`` projection into ONE Arrow ``mapInPandas`` stage that emits typed
 feature columns — no per-row Python UDFs, no payload shuffle (the stage is
 scan-aligned).
 
-The codec layer is a REAL pure-Python container-header parser (PNG IHDR,
-JPEG SOFn, GIF logical-screen descriptor, BMP DIB header): media type and
-pixel dimensions are read from the actual bytes, no image library needed.
-Pixel-level decode (which WOULD need PIL/libvips — absent from this
-container) is still marked by ``decode_pixels``; everything the oracle
-checks is parsed for real.
+The codec layer is REAL and pure-Python throughout: container-header
+parsers (PNG IHDR, JPEG SOFn, GIF logical-screen descriptor, BMP DIB
+header) AND full pixel decoders for all three fixture formats — PNG (zlib
+inflate + all five scanline unfilters), baseline JPEG (canonical Huffman +
+dequant + IDCT), and GIF (LSB-first LZW through the color table) — no
+image library needed anywhere.
 
 Correctness: the synthetic media table builds structurally-valid PNG / GIF
 / JPEG files deterministically from ``doc_id`` (PNG uses a hand-rolled
@@ -379,16 +379,115 @@ def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("no SOS marker")
 
 
+def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """GIF87a/89a decoder, stdlib-only: logical screen descriptor +
+    global color table, extension-block skipping, and a REAL LSB-first
+    LZW decode — clear/EOI codes, dictionary rebuild, code-width growth
+    at 2^n boundaries, and the KwKwK self-reference case — mapped to
+    grayscale through the color table's red channel.  Returns
+    (width, height, 1, row-major samples) like the PNG/JPEG decoders.
+    Truncated or corrupt input raises ValueError."""
+    try:
+        return _decode_gif_pixels(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt GIF: {e}") from e
+
+
+def _decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer before any image
+            raise ValueError("no image data in GIF")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        pos += 10
+        if ipacked & 0x80:
+            raise ValueError("local color tables unsupported")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if gct is None:
+            raise ValueError("no color table")
+        min_code = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            stream += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        # LSB-first LZW
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        prev: bytes | None = None
+        out = bytearray()
+        acc = nbits = 0
+        i = 0
+        done = False
+        while not done:
+            while nbits < width:
+                if i >= len(stream):
+                    raise ValueError("LZW stream truncated")
+                acc |= stream[i] << nbits
+                nbits += 8
+                i += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = table[: (1 << min_code) + 2]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                done = True
+                continue
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]          # KwKwK
+            else:
+                raise ValueError("bad LZW code")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # width grows when the NEXT code could address the new entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        if len(out) < iw * ih:
+            raise ValueError("LZW output short of raster size")
+        px = bytes(gct[3 * idx] for idx in out[: iw * ih])
+        return iw, ih, 1, px
+    raise ValueError("no image data in GIF")
+
+
 def decode_pixels(data: bytes) -> tuple[int, int, int, bytes]:
-    """Pixel-level decode: PNG for real with the stdlib (zlib inflate +
-    scanline unfilter above), JPEG for real with the baseline-DCT
-    decoder (Huffman + dequant + IDCT — the r4 hook, now closed).  The
-    GIF fixture carries no raster at all (header + trailer only), so
-    anything else is a data error, not a missing codec."""
+    """Pixel-level decode: PNG (zlib inflate + scanline unfilter), JPEG
+    (baseline Huffman + dequant + IDCT), and GIF (LSB-first LZW through
+    the color table) — every fixture format decodes for real with the
+    stdlib alone; anything else is a data error, not a missing codec."""
     if data[:8] == _PNG_SIG:
         return decode_png_pixels(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg_pixels(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(data)
     raise ValueError("payload carries no decodable raster")
 
 
@@ -485,9 +584,48 @@ def encode_gray_png(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def gif_bytes(width: int, height: int) -> bytes:
-    """GIF89a header + logical screen descriptor (no color table) +
-    trailer: always 14 bytes."""
-    return b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"
+    """COMPLETE GIF89a (was a 14-byte header shell through r5-early): a
+    256-entry grayscale global color table and a REAL LZW-coded raster.
+
+    Pixel (x, y) = (x*5 + y*3) % 256.  The encoder emits CLEAR before
+    every literal code, which pins the code width at 9 bits forever (the
+    dictionary never grows past the reset state) — legal GIF, decoded by
+    any conformant reader, and it makes the byte length closed-form:
+    codes = 2*w*h + 1 (CLEAR+literal per pixel, one EOI), data bytes =
+    ceil(9*codes / 8), total = 794 + data + ceil(data/255) sub-block
+    prefixes.  The oracle states both the length and every pixel."""
+    n = width * height
+    codes = []
+    for y in range(height):
+        for x in range(width):
+            codes.append(256)                  # CLEAR
+            codes.append((x * 5 + y * 3) % 256)
+    codes.append(257)                          # EOI
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:                            # LSB-first packing
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([min(255, len(data) - off)]) + bytes(data[off : off + 255])
+        for off in range(0, len(data), 255)
+    )
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + b"\x08"                              # min LZW code size
+        + blocks
+        + b"\x00\x3b"                          # block terminator + trailer
+    )
 
 
 # Standard JPEG Annex K luminance Huffman tables (ITU-T T.81, public
@@ -581,7 +719,13 @@ def jpeg_bytes(width: int, height: int) -> bytes:
 
 
 PNG_N_BYTES = "68 + (1 + doc_id % 48) * (2 + doc_id % 64)"
-GIF_N_BYTES = "14"
+#: 794 fixed bytes + LZW data (9 bits per code, 2*w*h+1 codes) + one
+#: sub-block length prefix per 255 data bytes
+GIF_N_BYTES = (
+    "794 + (9 * (2 * (1 + doc_id % 64) * (1 + doc_id % 48) + 1) + 7) // 8"
+    " + ((9 * (2 * (1 + doc_id % 64) * (1 + doc_id % 48) + 1) + 7) // 8"
+    " + 254) // 255"
+)
 JPEG_N_BYTES = (
     "328 + ((1 + doc_id % 64 + 7) // 8) * ((1 + doc_id % 48 + 7) // 8)"
 )
@@ -667,13 +811,12 @@ PIXEL_SCHEMA = T.StructType(
 
 
 def media_pixel_stats(media: DataFrame) -> DataFrame:
-    """Per-image pixel statistics from REAL decodes — PNG (inflate +
-    unfilter) AND baseline JPEG (Huffman + dequant + IDCT, the r4 hook
-    now closed): one pruned (url, data) projection into one Arrow
-    mapInPandas stage — the same scan-aligned shape as media_features,
-    now over decoded samples.  Raster-less rows (the GIF fixture is
-    header + trailer only) are skipped; sum/min/max are exact integers,
-    mean rounds at 4 dp."""
+    """Per-image pixel statistics from REAL decodes of ALL THREE fixture
+    formats — PNG (inflate + unfilter), baseline JPEG (Huffman + dequant
+    + IDCT) and GIF (LSB-first LZW through the color table): one pruned
+    (url, data) projection into one Arrow mapInPandas stage — the same
+    scan-aligned shape as media_features, over decoded samples.
+    sum/min/max are exact integers, mean rounds at 4 dp."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -684,6 +827,8 @@ def media_pixel_stats(media: DataFrame) -> DataFrame:
                     _w, _h, _bpp, px = decode_png_pixels(raw)
                 elif raw[:2] == b"\xff\xd8":
                     _w, _h, _bpp, px = decode_jpeg_pixels(raw)
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    _w, _h, _bpp, px = decode_gif_pixels(raw)
                 else:
                     continue
                 out["url"].append(url)
@@ -702,24 +847,25 @@ def media_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_pixel_stats_oracle() -> str:
-    """Closed-form pixel stats for BOTH decoded formats, stated
+    """Closed-form pixel stats for ALL THREE decoded formats, stated
     independently of any codec machinery: the PNG fixture's pixel (x, y)
     is (x*7 + y) % 256 (a wrong unfilter of the y%5-filtered scanlines
-    breaks the hash), and the JPEG fixture's pixel is 129/128 by the
-    parity of its 8x8 block's MCU scan index (a wrong Huffman decode, DC
-    prediction, dequant, or IDCT of the real entropy-coded scan breaks
-    the hash)."""
+    breaks the hash), the GIF fixture's is (x*5 + y*3) % 256 (a wrong
+    LZW decode or color-table mapping breaks it), and the JPEG fixture's
+    is 129/128 by the parity of its 8x8 block's MCU scan index (a wrong
+    Huffman decode, DC prediction, dequant, or IDCT breaks it)."""
     return f"""
 WITH d AS (
   SELECT doc_id, {spec.SQL_URL} AS url,
          1 + doc_id % {_W_MOD} AS w, 1 + doc_id % {_H_MOD} AS h
-  FROM documents WHERE doc_id % 3 IN (0, 2)
+  FROM documents
 ),
 xs AS (SELECT unnest(generate_series(0, {_W_MOD - 1})) AS x),
 ys AS (SELECT unnest(generate_series(0, {_H_MOD - 1})) AS y),
 px AS (
   SELECT d.url,
          CASE WHEN doc_id % 3 = 0 THEN (x * 7 + y) % 256
+              WHEN doc_id % 3 = 1 THEN (x * 5 + y * 3) % 256
               WHEN ((y // 8) * ((d.w + 7) // 8) + (x // 8)) % 2 = 0 THEN 129
               ELSE 128 END AS p
   FROM d, xs, ys WHERE x < d.w AND y < d.h
@@ -822,10 +968,10 @@ def media_resize(media: DataFrame) -> DataFrame:
     (x*w // THUMB_W, y*h // THUMB_H), re-encodes the thumbnail through
     encode_gray_png, and emits stats computed from a DECODE OF THE
     RE-ENCODED bytes — so a green oracle row certifies
-    decode→resize→encode→decode end to end.  r5: JPEG rows resize too
-    (decoded by the baseline-DCT decoder, thumbnailed into PNG — the
-    transcode every real thumbnail service performs); only raster-less
-    rows (the header-only GIF fixture) skip."""
+    decode→resize→encode→decode end to end.  r5: JPEG and GIF rows
+    resize too (baseline-DCT / LZW decoders), so every fixture format
+    transcodes into a PNG thumbnail — the shape of a real thumbnail
+    service."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -837,6 +983,8 @@ def media_resize(media: DataFrame) -> DataFrame:
                     w, h, _bpp, px = decode_png_pixels(raw)
                 elif raw[:2] == b"\xff\xd8":
                     w, h, _bpp, px = decode_jpeg_pixels(raw)
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, _bpp, px = decode_gif_pixels(raw)
                 else:
                     continue
                 thumb = bytes(
@@ -864,15 +1012,15 @@ def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_resize_oracle() -> str:
-    """Closed form for both decodable fixtures: the PNG thumb pixel is
-    ((x*w//TW)*7 + (y*h//TH)) % 256 and the JPEG thumb pixel is 129/128
-    by the source pixel's 8x8-block MCU parity — stated independently of
-    any codec code."""
+    """Closed form for all three fixtures: PNG thumb pixel =
+    ((x*w//TW)*7 + (y*h//TH)) % 256, GIF = (sx*5 + sy*3) % 256, JPEG =
+    129/128 by the source pixel's 8x8-block MCU parity — stated
+    independently of any codec code."""
     return f"""
 WITH d AS (
   SELECT doc_id, {spec.SQL_URL} AS url,
          1 + doc_id % {_W_MOD} AS w, 1 + doc_id % {_H_MOD} AS h
-  FROM documents WHERE doc_id % 3 IN (0, 2)
+  FROM documents
 ),
 xs AS (SELECT unnest(generate_series(0, {THUMB_W - 1})) AS x),
 ys AS (SELECT unnest(generate_series(0, {THUMB_H - 1})) AS y),
@@ -880,6 +1028,8 @@ px AS (
   SELECT d.url,
          CASE WHEN doc_id % 3 = 0
               THEN ((x * d.w // {THUMB_W}) * 7 + (y * d.h // {THUMB_H})) % 256
+              WHEN doc_id % 3 = 1
+              THEN ((x * d.w // {THUMB_W}) * 5 + (y * d.h // {THUMB_H}) * 3) % 256
               WHEN (((y * d.h // {THUMB_H}) // 8) * ((d.w + 7) // 8)
                     + ((x * d.w // {THUMB_W}) // 8)) % 2 = 0 THEN 129
               ELSE 128 END AS p

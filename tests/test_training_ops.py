@@ -89,7 +89,10 @@ def test_parse_image_hand_built_bytes():
     assert mm.parse_image(mm.jpeg_bytes(1920, 1080)) == ("image/jpeg", 1920, 1080)
     # closed-form lengths the oracle relies on
     assert len(mm.png_bytes(10, 5)) == 68 + 5 * 11
-    assert len(mm.gif_bytes(3, 3)) == 14
+    # r5: gif_bytes carries a real LZW raster; 794 fixed bytes + data +
+    # one sub-block prefix per 255 data bytes (the oracle's formula)
+    db = (9 * (2 * 3 * 3 + 1) + 7) // 8
+    assert len(mm.gif_bytes(3, 3)) == 794 + db + (db + 254) // 255
     # r5: jpeg_bytes is a COMPLETE baseline JPEG; 328 header+EOI bytes
     # plus exactly one entropy byte per 8x8 block (the oracle's formula)
     assert len(mm.jpeg_bytes(3, 3)) == 328 + 1
@@ -229,9 +232,10 @@ def test_decode_pixels_dispatch():
     # r5: JPEG dispatches to the real baseline decoder (hook closed)
     w, h, bpp, px = mm.decode_pixels(mm.jpeg_bytes(3, 2))
     assert (w, h, bpp) == (3, 2, 1) and px == bytes([129] * 6)
-    # the GIF fixture carries no raster: data error, not a missing codec
-    with pytest.raises(ValueError):
-        mm.decode_pixels(mm.gif_bytes(3, 2))
+    # r5: GIF dispatches to the real LZW decoder too
+    w, h, bpp, px = mm.decode_pixels(mm.gif_bytes(3, 2))
+    assert (w, h, bpp) == (3, 2, 1)
+    assert px == bytes((x * 5 + y * 3) % 256 for y in range(2) for x in range(3))
     with pytest.raises(ValueError):
         mm.decode_png_pixels(b"\x89PNG\r\n\x1a\njunk")
 
@@ -705,5 +709,24 @@ def test_jpeg_decoder_truncation_raises_valueerror_only():
         mutated = full[:pos] + bytes([full[pos] ^ 0xFF]) + full[pos + 1 :]
         try:
             mm.decode_jpeg_pixels(mutated)
+        except ValueError:
+            pass
+
+
+def test_gif_decoder_truncation_raises_valueerror_only():
+    """r5 robustness: GIF truncation/corruption raises ValueError only,
+    like the JPEG decoder's sweep."""
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    full = mm.gif_bytes(9, 7)
+    for cut in range(0, len(full), 3):
+        try:
+            mm.decode_gif_pixels(full[:cut])
+        except ValueError:
+            pass
+    for pos in range(6, 40):
+        mutated = full[:pos] + bytes([full[pos] ^ 0xFF]) + full[pos + 1 :]
+        try:
+            mm.decode_gif_pixels(mutated)
         except ValueError:
             pass
