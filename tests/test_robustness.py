@@ -188,3 +188,48 @@ def test_dangling_xobject_and_annot_refs():
     assert err is None and "ok" in pages[0].text
     for _, _, interp in parse_pdf_objects(data):
         assert interp.images == []
+
+
+@given(
+    w=st.integers(min_value=1, max_value=80),
+    h=st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=40, deadline=None)
+def test_codec_roundtrips_exact_at_any_dims(w, h):
+    """r5: all three fixture codecs must roundtrip EXACTLY at arbitrary
+    dimensions — PNG through inflate+unfilter, JPEG through
+    Huffman+IDCT, GIF through LZW+color table — including edge-cropped
+    MCU grids and single-pixel images."""
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    W, H, _b, px = mm.decode_png_pixels(mm.png_bytes(w, h))
+    assert (W, H) == (w, h)
+    assert px == bytes((x * 7 + y) % 256 for y in range(h) for x in range(w))
+
+    W, H, _b, px = mm.decode_jpeg_pixels(mm.jpeg_bytes(w, h))
+    assert (W, H) == (w, h)
+    bw = (w + 7) // 8
+    assert px == bytes(
+        129 if ((y // 8) * bw + x // 8) % 2 == 0 else 128
+        for y in range(h)
+        for x in range(w)
+    )
+
+    W, H, _b, px = mm.decode_gif_pixels(mm.gif_bytes(w, h))
+    assert (W, H) == (w, h)
+    assert px == bytes((x * 5 + y * 3) % 256 for y in range(h) for x in range(w))
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_pixel_decoders_never_crash_on_arbitrary_bytes(data):
+    """Arbitrary bytes into any pixel decoder: ValueError or a valid
+    decode, never another exception type."""
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    for fn in (mm.decode_png_pixels, mm.decode_jpeg_pixels,
+               mm.decode_gif_pixels, mm.decode_pixels):
+        try:
+            fn(data)
+        except ValueError:
+            pass
