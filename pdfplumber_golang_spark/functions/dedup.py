@@ -109,13 +109,24 @@ FROM corpus GROUP BY md5(text)
 
 # --------------------------------------------------------------- shingles --
 
-def _shingles(c: DataFrame) -> DataFrame:
-    """Word SHINGLE_N-grams per doc (distinct)."""
+def _shingle_arr():
+    """Distinct word SHINGLE_N-gram ARRAY per doc — a pure projection.
+    array_distinct runs inside the row (per-doc distinctness is local to
+    the doc), so no global ``.distinct()`` exchange is ever needed
+    (optimization guide §2.4: remove shuffles outright)."""
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_N - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, SHINGLE_N)))
-    return c.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return F.array_distinct(sh)
+
+
+def _shingles(c: DataFrame) -> DataFrame:
+    """Word SHINGLE_N-grams per doc (distinct) — map-side only: the
+    distinct happens in the array before the explode, replacing the old
+    global ``.distinct()`` (a full shuffle of every (doc, shingle) row)
+    with zero exchanges."""
+    return c.select("doc_id", F.explode(_shingle_arr()).alias("shingle"))
 
 
 _SHINGLES_SQL = f"""
@@ -134,7 +145,14 @@ shingles AS (
 def _band_rows(c: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_key) LSH band rows.  One map-side-combinable
     groupBy computes all K minhashes (no k-fanout shuffle — was 49s at
-    sf0.1 with the explode-by-k shape), then bands explode locally."""
+    sf0.1 with the explode-by-k shape), then bands explode locally.
+
+    The shingle distinct is per-row ``array_distinct`` before the explode
+    (no global ``.distinct()`` exchange, guide §2.4); the signature md5
+    fold (k × shingles per doc — the formula the oracle freezes) is the
+    measured floor: a fully map-side ``array_min``-of-8-transforms
+    variant was 4× SLOWER because each projection column rebuilt the
+    shingle array (noop-sink A/B at sf0.1: 12 s vs 2.7 s)."""
     sh = _shingles(c)
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -169,8 +187,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature[k] = min over shingles of md5(k || '|' || shingle)
     band b = concat of its LSH_BAND_SIZE signature rows; docs sharing any
     band key become a candidate pair (equi-join on (band_id, band_key) —
-    the only join, no cross product; this is the scale path)."""
-    bands = _band_rows(dup_corpus(spark, sf_dir))
+    the only join, no cross product; this is the scale path).
+
+    The band relation is persisted: it feeds BOTH sides of the self-join
+    and the signature pass (k×shingles md5 folds per doc) is the
+    expensive part — without the persist each side recomputes it
+    (guide §5: reuse beats recompute when the input pass is the cost)."""
+    bands = cache.persist(_band_rows(dup_corpus(spark, sf_dir)))
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -272,7 +295,10 @@ def jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     this composition avoids."""
     c = dup_corpus(spark, sf_dir)
     cand = minhash_lsh_candidates(spark, sf_dir)
-    sh = _shingles(c)
+    # persisted: the shingle relation feeds THREE consumers (sizes + both
+    # sides of the intersection join) — each would re-run the corpus
+    # explode otherwise (r6, guide §5)
+    sh = cache.persist(_shingles(c))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -354,17 +380,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-filter: drop hot (stopword) shingles; the cap derives from the
     # corpus size at plan-build time (one count() of control state)
     cap = df_cap(c.count())
-    df_ok = (
-        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # df filter as one window over the shingle exchange (guide §2.4):
+    # replaces groupBy(shingle) + join-back, which exploded the corpus a
+    # second time and risked a corpus-sized broadcast from bad estimates.
+    # The persisted result keeps hash(shingle) partitioning, so the
+    # self-join below adds no exchange; sh still feeds three consumers
+    # (sizes + both join sides) — the persist stays.  At cluster scale
+    # this would be a parquet checkpoint instead.
+    sh = cache.persist(
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
         .where(F.col("df") <= cap)
+        .select("doc_id", "shingle")
     )
-    # sh feeds three consumers (sizes + both join sides); Catalyst has no
-    # cross-join CSE, so persist avoids recomputing the explode+distinct.
-    # At cluster scale this would be a parquet checkpoint instead.
-    sh = cache.persist(sh.join(df_ok.select("shingle"), "shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    # MERGE hint — sh is corpus-sized and cached with hash(shingle)
+    # partitioning; broadcast would build a corpus-sized hash relation
+    b = sh.hint("merge").alias("b")
     inter = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -628,13 +660,26 @@ def substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(gram_arr)).alias("g")
     )
     cap = df_cap(c.count())
-    df_ok = (
-        grams.groupBy("g").agg(F.count("*").alias("df"))
+    # df filter as ONE window over the gram exchange instead of
+    # groupBy(g) + join-back (guide §2.4): the old shape scanned/exploded
+    # the corpus twice and Catalyst mis-estimated the corpus-sized df_ok
+    # relation as broadcastable (a ~300 MB broadcast at sf0.1 — the
+    # 12→39 s bench swings); now grams shuffle by g exactly once, the
+    # count runs in-place, and the persisted result keeps hash(g)
+    # partitioning so the self-join below needs no further exchange.
+    kept = cache.persist(
+        grams.withColumn(
+            "df", F.count("*").over(Window.partitionBy("g"))
+        )
         .where(F.col("df") <= cap)
-        .select("g")
+        .select("doc_id", "g")
     )
-    kept = cache.persist(grams.join(df_ok, "g"))
-    a, b = kept.alias("a"), kept.alias("b")
+    # MERGE hint: the build side is the corpus-sized gram relation —
+    # Catalyst's estimate marks the cached plan broadcastable and builds a
+    # ~300 MB hash relation (the cold-run spikes; a non-starter on a real
+    # cluster).  Both sides read the same cache already hash-partitioned
+    # by g, so the sort-merge join needs no exchange at all (guide §3.1).
+    a, b = kept.alias("a"), kept.hint("merge").alias("b")
     return (
         a.join(b, "g")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -720,13 +765,18 @@ def substring_pairs_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = grams.where(
         F.conv(F.substring("g", 1, 8), 16, 10).cast("long") % p == 0
     )
-    df_ok = (
-        sampled.groupBy("g").agg(F.count("*").alias("df"))
+    # same single-exchange window df filter as substring_pairs (the mod-p
+    # selector already ran BEFORE this exchange, so the shuffled volume
+    # is the sampled ~1/p of the grams)
+    kept = cache.persist(
+        sampled.withColumn(
+            "df", F.count("*").over(Window.partitionBy("g"))
+        )
         .where(F.col("df") <= cap)
-        .select("g")
+        .select("doc_id", "g")
     )
-    kept = cache.persist(sampled.join(df_ok, "g"))
-    a, b = kept.alias("a"), kept.alias("b")
+    # same MERGE rationale as substring_pairs: no corpus-sized broadcast
+    a, b = kept.alias("a"), kept.hint("merge").alias("b")
     return (
         a.join(b, "g")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -51,14 +51,19 @@ def chars_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(_doc_text, i + 1, 1)").alias("text"),
         (F.col("i") / w).cast("long").alias("line_no"),
         (F.col("i") % w).alias("j"),
+        "_doc_text",
     )
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("doc_id", "line_no").orderBy("j").rowsBetween(
-        Window.unboundedPreceding, -1
+    # spaces before this char within its line, as a pure string expression
+    # (count of ' ' in the line prefix) instead of a lag/cumsum window —
+    # the window forced an Exchange+Sort of the whole char relation keyed
+    # (doc_id, line_no) that nothing downstream reuses (guide §2.4); the
+    # prefix is ≤ PDF_WRAP chars so the expression is O(line width) per
+    # char, fully map-side, identical values.
+    line_prefix = F.expr(
+        f"substring(_doc_text, cast(line_no * {w} + 1 as int), cast(j as int))"
     )
-    spaces_before = F.coalesce(
-        F.sum(F.when(F.col("text") == " ", 1).otherwise(0)).over(win), F.lit(0)
+    spaces_before = F.length(line_prefix) - F.length(
+        F.replace(line_prefix, F.lit(" "))
     )
     x0 = F.lit(spec.TEXT_X0) + CHAR_ADV * F.col("j") + SPACE_EXTRA * spaces_before
     y0 = F.lit(spec.TEXT_Y0) - spec.LEADING * F.col("line_no") + (F.col("i") % 3 - 1)
