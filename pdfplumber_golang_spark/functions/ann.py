@@ -464,6 +464,25 @@ def _sqdist(a, b):
     )
 
 
+def _literal_cents(spark: SparkSession, cents: DataFrame) -> DataFrame:
+    """Collect the ≤max(IVF_K, PQ_K)-row integer centroid relation and
+    re-create it as a literal DataFrame — the bounded-control-state
+    pattern (``lsh_params``/``df_cap``), vector-valued.
+
+    This truncates the Lloyd-round lineage (VERDICT r5 "what's wrong"
+    #3): without it, round r's centroid broadcast re-derives rounds
+    1..r-1 over the full corpus each time it is built, so plan depth —
+    and the ann_ivfpq gate wall (276 s of a 600 s gate) — grew with the
+    round count.  The centroids are exact integers, so the literal
+    relation is bit-identical to the lazy one and every oracle is
+    unchanged."""
+    rows = cents.collect()
+    return spark.createDataFrame(
+        [(int(r["cid"]), [int(x) for x in r["ci"]]) for r in rows],
+        schema="cid int, ci array<bigint>",
+    )
+
+
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest centroid per vector (ties -> smallest cid). The centroid
     side is IVF_K rows — always broadcast."""
@@ -516,7 +535,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(IVF_ITERS):
         assign = _assign(vecs, cents)
-        cents = _update(vecs, assign, cents)
+        cents = _literal_cents(spark, _update(vecs, assign, cents))
     final_assign = _assign(vecs, cents)
 
     # queries probe their NPROBE nearest final centroids
@@ -687,7 +706,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for _ in range(PQ_ITERS):
             assign = _assign(sub, cents)
-            cents = _update(sub, assign, cents)
+            cents = _literal_cents(spark, _update(sub, assign, cents))
         codes_parts.append(
             _assign(sub, cents).select(
                 "vec_id", F.lit(m).alias("m"), F.col("cid").alias("code")
@@ -868,7 +887,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(IVF_ITERS):
         assign = _assign(vecs, cents)
-        cents = _update(vecs, assign, cents)
+        cents = _literal_cents(spark, _update(vecs, assign, cents))
     # persist the two database-sized intermediates: final_assign and the
     # residuals each feed MANY consumers (every subspace's Lloyd rounds
     # re-derive them otherwise, re-running the whole coarse k-means chain
@@ -911,9 +930,8 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for _ in range(PQ_ITERS):
             a = _assign(sub, cb)
-            cb = _update(sub, a, cb)
-        # tiny (PQ_K rows) but with a deep lineage; two consumers below
-        cb = cache.persist(cb)
+            cb = _literal_cents(spark, _update(sub, a, cb))
+        # cb is already a shallow literal relation (two consumers below)
         codes_parts.append(
             _assign(sub, cb).select(
                 "vec_id", F.lit(m).alias("m"), F.col("cid").alias("code")

@@ -27,6 +27,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -153,9 +154,19 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
                 a = out[off + i - bpp] if i >= bpp else 0
                 out[off + i] = (v + a) & 0xFF
         elif ftype == 2:  # Up
-            for i, v in enumerate(line):
-                b = out[prev_off + i] if y else 0
-                out[off + i] = (v + b) & 0xFF
+            # vectorized (r6, guide §4.2): uint8 addition wraps mod 256,
+            # exactly (v + b) & 0xFF; Up has no intra-row dependency
+            # (unlike Sub/Average/Paeth, which stay scalar sweeps)
+            if y:
+                out[off : off + stride] = (
+                    np.frombuffer(line, dtype=np.uint8)
+                    + np.frombuffer(
+                        memoryview(out)[prev_off : prev_off + stride],
+                        dtype=np.uint8,
+                    )
+                ).tobytes()
+            else:
+                out[off : off + stride] = line
         elif ftype == 3:  # Average
             for i, v in enumerate(line):
                 a = out[off + i - bpp] if i >= bpp else 0
@@ -265,6 +276,40 @@ def _idct_block(coef: list) -> list:
     return out
 
 
+def _idct_blocks_np(coefs: "np.ndarray") -> "np.ndarray":
+    """Batched 8x8 inverse DCT over an (n, 64) int coefficient array —
+    BIT-IDENTICAL to ``_idct_block`` per block (vectorization must not
+    move a single pixel; pinned by
+    tests/test_training_ops.py::test_idct_numpy_matches_scalar):
+
+    - identical accumulation order (u then v, ascending; elementwise
+      numpy add — no BLAS/FMA reassociation),
+    - identical multiply association ``(C[u] * c) * COS[x][u]``,
+    - the scalar path's zero-coefficient skip only ever drops exact
+      ±0.0 terms, which cannot change a finite IEEE sum,
+    - ``np.rint`` is round-half-even, the same rule as Python round().
+
+    ~10× fewer Python-level operations per block than the scalar loop
+    (two 64-step loops over the whole batch instead of 64 per block) —
+    guide §4.2: hand whole batches to vectorized native code."""
+    A = coefs.reshape(-1, 8, 8).astype(np.float64)    # [n, r, u]
+    n = A.shape[0]
+    tmp = np.empty((n, 8, 8))                         # [n, r, x]
+    for x in range(8):
+        acc = np.zeros((n, 8))
+        for u in range(8):
+            acc = acc + (_IDCT_C[u] * A[:, :, u]) * _IDCT_COS[x][u]
+        tmp[:, :, x] = acc / 2
+    out = np.empty((n, 8, 8))                         # [n, y, x]
+    for y in range(8):
+        acc = np.zeros((n, 8))
+        for v in range(8):
+            acc = acc + (_IDCT_C[v] * tmp[:, v, :]) * _IDCT_COS[y][v]
+        out[:, y, :] = acc / 2
+    px = np.rint(out).astype(np.int64) + 128
+    return np.clip(px, 0, 255).astype(np.uint8)
+
+
 def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     """Baseline-DCT grayscale JPEG decoder, stdlib-only (closes the r4
     ``NotImplementedError`` hook): marker walk -> DQT/DHT/SOF0/SOS ->
@@ -345,13 +390,13 @@ def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             q = quant[qtab_id]
             dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
             bw, bh = (w + 7) // 8, (h + 7) // 8
-            out = bytearray(w * h)
             pred = 0
+            blocks = np.zeros((bw * bh, 64), dtype=np.int64)
             for bi in range(bw * bh):
                 t = reader.decode(dc_tab)
                 diff = _extend(reader.read_bits(t), t) if t else 0
                 pred += diff
-                coef = [0] * 64
+                coef = blocks[bi]
                 coef[0] = pred * q[0]
                 k = 1
                 while k < 64:
@@ -368,13 +413,15 @@ def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
                     zr, zc = _ZIGZAG[k]
                     coef[zr * 8 + zc] = _extend(reader.read_bits(s), s) * q[k]
                     k += 1
-                px = _idct_block(coef)
-                by, bx = divmod(bi, bw)
-                for yy in range(min(8, h - by * 8)):
-                    row = (by * 8 + yy) * w + bx * 8
-                    for xx in range(min(8, w - bx * 8)):
-                        out[row + xx] = px[yy * 8 + xx]
-            return w, h, 1, bytes(out)
+            # batched IDCT + MCU-grid assembly (r6 vectorization; the
+            # Huffman scan above is inherently serial and stays in Python)
+            px = _idct_blocks_np(blocks)              # [bh*bw, y, x]
+            grid = (
+                px.reshape(bh, bw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw * 8)
+            )
+            return w, h, 1, np.ascontiguousarray(grid[:h, :w]).tobytes()
         pos += 2 + seglen
     raise ValueError("no SOS marker")
 
@@ -450,7 +497,11 @@ def _decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             acc >>= width
             nbits -= width
             if code == clear:
-                table = table[: (1 << min_code) + 2]
+                # truncate in place, and only when the dictionary actually
+                # grew — encoders that CLEAR per literal (our fixture) were
+                # paying a 258-entry list copy per pixel (r6)
+                if len(table) > (1 << min_code) + 2:
+                    del table[(1 << min_code) + 2 :]
                 width = min_code + 1
                 prev = None
                 continue
@@ -472,7 +523,10 @@ def _decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
                 width += 1
         if len(out) < iw * ih:
             raise ValueError("LZW output short of raster size")
-        px = bytes(gct[3 * idx] for idx in out[: iw * ih])
+        # palette map vectorized (r6): red channel via a strided take —
+        # exact byte-for-byte twin of gct[3*idx] per pixel
+        pal = np.frombuffer(bytes(gct), dtype=np.uint8)[0::3]
+        px = pal[np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)].tobytes()
         return iw, ih, 1, px
     raise ValueError("no image data in GIF")
 

@@ -730,3 +730,108 @@ def test_gif_decoder_truncation_raises_valueerror_only():
             mm.decode_gif_pixels(mutated)
         except ValueError:
             pass
+
+
+def test_bpe_job_count_independent_of_merge_rounds(spark, monkeypatch):
+    """r6 optimization pin (VERDICT r5 #1): BPE training launches a
+    CONSTANT number of Spark jobs regardless of BPE_MERGES — the corpus
+    is touched once (the word histogram collect); every merge round runs
+    driver-local over the Heaps-bounded vocab.  The old shape launched
+    ~2 jobs per round, which is what made a 32k-merge production run a
+    job-scheduling disaster."""
+    from pdfplumber_golang_spark.functions import text_analysis as TA
+
+    sf = "/root/testdata/sf0.001"
+    sc = spark.sparkContext
+
+    def jobs_for(n_merges: int, tag: str) -> int:
+        monkeypatch.setattr(TA, "BPE_MERGES", n_merges)
+        sc.setJobGroup(tag, f"bpe merges={n_merges}")
+        try:
+            merges, _seqs = TA._bpe_learn(spark, sf)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert len(merges) == n_merges
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    a = jobs_for(2, "bpe-jc-2")
+    b = jobs_for(8, "bpe-jc-8")
+    assert a == b, (a, b)  # job count must not scale with merge rounds
+
+
+def test_bpe_python_merge_twin_matches_sql_fold(spark):
+    """_merge_syms (the driver-local greedy fold) must stay bit-equal to
+    _bpe_merge_expr (the JVM fold the unrolled oracle SQL restates) on
+    the tricky shapes: chain-suppression, overlapping runs, repeats."""
+    from pyspark.sql import functions as F
+
+    from pdfplumber_golang_spark.functions import text_analysis as TA
+
+    cases = [
+        (["a", "b"], "a", "b"),
+        (["a", "a", "b"], "a", "b"),
+        (["a", "b", "b"], "a", "b"),
+        (["a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b", "a", "b"], "a", "b"),
+        (["x"], "a", "b"),
+        (["ab", "c", "ab", "c"], "ab", "c"),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _a, _b) in enumerate(cases)],
+        "i int, syms array<string>",
+    )
+    for i, (syms, a, b) in enumerate(cases):
+        got_sql = (
+            df.where(F.col("i") == i)
+            .select(TA._bpe_merge_expr(F.col("syms"), a, b).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got_sql == TA._merge_syms(syms, a, b), (syms, a, b, got_sql)
+
+
+def test_idct_numpy_matches_scalar():
+    """r6 vectorization pin (VERDICT r5 #2): the batched numpy IDCT must
+    be BIT-identical to the scalar reference over wide random
+    coefficient blocks (same accumulation order, same multiply
+    association, round-half-even) — vectorization must not move a single
+    pixel, because media_pixel_stats/media_resize are hash-gated."""
+    import random
+
+    import numpy as np
+
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    rng = random.Random(20260821)
+    blocks = []
+    for _ in range(400):
+        coef = [0] * 64
+        for _k in range(rng.randint(0, 48)):
+            coef[rng.randrange(64)] = rng.randint(-4096, 4096)
+        blocks.append(coef)
+    got = mm._idct_blocks_np(np.array(blocks, dtype=np.int64))
+    for i, coef in enumerate(blocks):
+        assert got[i].reshape(64).tolist() == mm._idct_block(list(coef)), i
+
+
+def test_vectorized_codecs_closed_form_exact():
+    """r6 vectorization pin: every fixture decode (PNG all-five-filter
+    rotation, JPEG batched IDCT + grid assembly, GIF palette take +
+    in-place LZW clear) still reproduces the closed-form pixel values
+    byte-for-byte across the dims/format sweep."""
+    from pdfplumber_golang_spark.functions import multimodal as mm
+
+    for d in range(0, 800):
+        data = mm.build_media(d)
+        w, h, _ch, px = mm.decode_pixels(data)
+        k = d % 3
+        if k == 0:      # png
+            want = bytes((x * 7 + y) % 256 for y in range(h) for x in range(w))
+        elif k == 1:    # gif
+            want = bytes((x * 5 + y * 3) % 256 for y in range(h) for x in range(w))
+        else:           # jpeg
+            bw = (w + 7) // 8
+            want = bytes(
+                129 if ((y // 8) * bw + x // 8) % 2 == 0 else 128
+                for y in range(h) for x in range(w)
+            )
+        assert px == want, (d, k)
