@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import pipeline, spec
-from ..plans import cache
 
 # Gopher-rule bounds (A1.1, adapted to the synthetic corpus's 10-99-word
 # docs: the word-count floor is 30 instead of 50 so the rule discriminates
@@ -639,14 +638,13 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_id = _docs(spark, sf_dir).agg(F.max("doc_id")).collect()[0][0] or 0
     sup = shard_super_factor(int(max_id) // SHARD_BUCKET_DOCS + 1)
-    # persisted: totals feeds TWO consumers (the intra-super prefix
-    # window and the superbucket rollup) — without it each consumer
-    # re-ran the corpus-sized groupBy (r6; the docstring's production
-    # note, now actually done)
-    totals = cache.persist(
-        d.groupBy("bkt").agg(F.sum("n_tokens").alias("tot")).withColumn(
-            "sbkt", (F.col("bkt") / sup).cast("long")
-        )
+    # totals feeds two consumers (intra-super prefix window + super
+    # rollup).  A ``cache.persist`` here was A/B-measured SLOWER at bench
+    # scale (0.73 s -> 0.77-1.0 s: the relation is ~B = N/1024 rows, tiny
+    # at test SFs, and the cache barrier costs more than the recompute);
+    # a production 10^9-bucket run would persist or checkpoint it.
+    totals = d.groupBy("bkt").agg(F.sum("n_tokens").alias("tot")).withColumn(
+        "sbkt", (F.col("bkt") / sup).cast("long")
     )
     w_intra = Window.partitionBy("sbkt").orderBy("bkt").rowsBetween(
         Window.unboundedPreceding, -1
