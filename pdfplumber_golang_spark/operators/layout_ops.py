@@ -135,16 +135,28 @@ def page_text(chars: DataFrame) -> DataFrame:
 
 
 def doc_text_from_chars(chars: DataFrame) -> DataFrame:
-    """Whole-document text: pages joined by '\n' in page order."""
+    """Whole-document text: pages joined by '\n' in page order.
+
+    Computed as ONE groupBy over the lines relation (r6, guide §2.4):
+    the page separator and the line separator are both '\n', so
+    '\n'.join over pages of ('\n'.join over lines) equals '\n'.join
+    over all lines ordered by (page_no, line_id) — byte-identical, and
+    the intermediate per-page aggregation exchange disappears.
+    (line_id is unique within a page, so the struct sort never falls
+    through to comparing line_text.)"""
     return (
-        page_text(chars)
+        lines(chars)
         .groupBy("url")
         .agg(
             F.concat_ws(
                 "\n",
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("page_no", "text"))),
-                    lambda s: s["text"],
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("page_no", "line_id", "line_text")
+                        )
+                    ),
+                    lambda s: s["line_text"],
                 ),
             ).alias("text")
         )
